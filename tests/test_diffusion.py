@@ -1,0 +1,121 @@
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from kidney_diffusion_tpu.core import (
+    GaussianDiffusion,
+    diffusion_loss,
+    dynamic_threshold,
+    sample_loop,
+    ddim_sample_loop,
+)
+
+
+def test_dynamic_threshold_identity_within_range():
+    x = jnp.full((2, 4, 4, 3), 0.5)
+    out = dynamic_threshold(x)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(x), atol=1e-6)
+
+
+def test_dynamic_threshold_rescales():
+    x = jnp.concatenate(
+        [jnp.full((1, 4, 4, 3), 4.0), jnp.full((1, 4, 4, 3), 0.1)], axis=0
+    )
+    out = np.asarray(dynamic_threshold(x, percentile=0.95))
+    assert out.max() <= 1.0 + 1e-6
+    # the small sample is untouched
+    np.testing.assert_allclose(out[1], 0.1, atol=1e-6)
+
+
+def test_loss_zero_for_perfect_model():
+    gd = GaussianDiffusion(num_timesteps=64)
+    key = jax.random.PRNGKey(0)
+    k1, k2, k3 = jax.random.split(key, 3)
+    x0 = jax.random.uniform(k1, (3, 8, 8, 3), minval=-1, maxval=1)
+    noise = jax.random.normal(k2, x0.shape)
+    times = jax.random.uniform(k3, (3,))
+
+    # oracle eps model
+    loss = diffusion_loss(gd, lambda x_t, t: noise, x0, times, noise, objective="noise")
+    assert float(loss.max()) < 1e-10
+
+    # oracle v model
+    v = gd.calculate_v(x0, times, noise)
+    loss_v = diffusion_loss(gd, lambda x_t, t: v, x0, times, noise, objective="v")
+    assert float(loss_v.max()) < 1e-10
+
+
+def _oracle_denoiser(gd, target):
+    """eps-prediction oracle for a deterministic target image."""
+
+    def fn(x_t, t):
+        return gd.predict_noise_from_start(x_t, t, jnp.broadcast_to(target, x_t.shape))
+
+    return fn
+
+
+def test_sample_loop_recovers_target():
+    # With an oracle denoiser pointing at a constant image, ancestral
+    # sampling must converge to that image.
+    gd = GaussianDiffusion(num_timesteps=64)
+    target = jnp.full((1, 8, 8, 3), 0.25)
+    out = sample_loop(
+        gd,
+        _oracle_denoiser(gd, target),
+        (2, 8, 8, 3),
+        jax.random.PRNGKey(0),
+        objective="noise",
+    )
+    np.testing.assert_allclose(np.asarray(out), 0.25, atol=0.05)
+
+
+def test_ddim_loop_recovers_target():
+    gd = GaussianDiffusion(num_timesteps=64)
+    target = jnp.full((1, 8, 8, 3), -0.5)
+    out = ddim_sample_loop(
+        gd,
+        _oracle_denoiser(gd, target),
+        (2, 8, 8, 3),
+        jax.random.PRNGKey(1),
+        objective="noise",
+        num_steps=16,
+    )
+    np.testing.assert_allclose(np.asarray(out), -0.5, atol=0.05)
+
+
+def test_inpaint_keeps_known_pixels():
+    gd = GaussianDiffusion(num_timesteps=32)
+    target = jnp.full((1, 8, 8, 3), 0.25)
+    known = jnp.full((1, 8, 8, 3), -0.75)
+    mask = jnp.zeros((1, 8, 8))
+    mask = mask.at[:, :4, :].set(1.0)  # top half known
+
+    out = sample_loop(
+        gd,
+        _oracle_denoiser(gd, target),
+        (1, 8, 8, 3),
+        jax.random.PRNGKey(2),
+        objective="noise",
+        inpaint_images=known,
+        inpaint_masks=mask,
+        inpaint_resample_times=3,
+    )
+    out = np.asarray(out)
+    # known region exactly preserved
+    np.testing.assert_allclose(out[:, :4, :, :], -0.75, atol=1e-6)
+    # unknown region converged toward the oracle target
+    np.testing.assert_allclose(out[:, 4:, :, :], 0.25, atol=0.1)
+
+
+def test_sample_loop_jittable():
+    gd = GaussianDiffusion(num_timesteps=8)
+    target = jnp.zeros((1, 4, 4, 3))
+
+    @jax.jit
+    def run(key):
+        return sample_loop(
+            gd, _oracle_denoiser(gd, target), (1, 4, 4, 3), key, objective="noise"
+        )
+
+    out = run(jax.random.PRNGKey(0))
+    assert out.shape == (1, 4, 4, 3)
