@@ -1,0 +1,335 @@
+"""Cascade — the functional Imagen-equivalent.
+
+Owns what the reference delegates to `imagen_pytorch.Imagen`
+(/root/reference/train.py:84-95, sample_ultra_res.py:183-195):
+
+  * per-stage continuous-time Gaussian diffusion (cosine schedule)
+  * eps- / v-objective losses with
+      - random-crop training for the 1024² stage
+        (`random_crop_sizes=(None, None, 256)`, train.py:94)
+      - low-res conditioning built from the training batch itself
+        (downsample -> upsample) with noise-conditioning augmentation
+      - classifier-free-guidance conditioning dropout
+  * stage-windowed sampling (`start_at_unet_number` /
+    `stop_at_unet_number`), CFG via `cond_scale`, dynamic thresholding,
+    RePaint inpainting with `inpaint_resample_times`
+
+Functional design: a `Cascade` holds configs and model *definitions*;
+parameters are explicit pytrees owned by the caller (Trainer / sampler).
+Everything here is jittable; nothing touches the host.
+
+Value convention: public APIs take and return images in [0, 1]
+(the dataset convention); diffusion runs in [-1, 1] internally.
+Images are NHWC.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Dict, Optional, Sequence
+
+import jax
+import jax.numpy as jnp
+
+from .core.diffusion import diffusion_loss, sample_loop
+from .core.schedules import GaussianDiffusion
+from .models.configs import CascadeConfig
+from .models.unet import EfficientUNet
+
+Array = jax.Array
+Params = Any
+
+
+def normalize_img(x: Array) -> Array:
+    return x.astype(jnp.float32) * 2.0 - 1.0
+
+
+def unnormalize_img(x: Array) -> Array:
+    return jnp.clip(x.astype(jnp.float32) * 0.5 + 0.5, 0.0, 1.0)
+
+
+def resize_image_to(x: Array, size: int, method: str = "nearest") -> Array:
+    """Resize NHWC batch to (size, size). No-op when already that size."""
+    b, h, w, c = x.shape
+    if h == size and w == size:
+        return x
+    return jax.image.resize(x, (b, size, size, c), method=method)
+
+
+def _random_crop_pair(key: Array, crop: int, *imgs: Array) -> tuple:
+    """Per-example random crop applied identically to every input."""
+    b, h, w, _ = imgs[0].shape
+    ky, kx = jax.random.split(key)
+    ys = jax.random.randint(ky, (b,), 0, h - crop + 1)
+    xs = jax.random.randint(kx, (b,), 0, w - crop + 1)
+
+    def crop_one(img, y, x):
+        return jax.lax.dynamic_slice(img, (y, x, 0), (crop, crop, img.shape[-1]))
+
+    return tuple(jax.vmap(crop_one)(img, ys, xs) for img in imgs)
+
+
+class Cascade:
+    """Model definitions + diffusion processes for one cascade config."""
+
+    def __init__(self, config: CascadeConfig):
+        self.config = config
+        self.models = tuple(EfficientUNet(st.unet) for st in config.stages)
+        self.diffusions = tuple(
+            GaussianDiffusion(st.timesteps, st.noise_schedule) for st in config.stages
+        )
+        self.lowres_diffusion = GaussianDiffusion(1000, config.lowres_noise_schedule)
+
+    # ---- init ----------------------------------------------------------
+
+    def init_stage_params(
+        self, key: Array, unet_number: int, *, batch_size: int = 1
+    ) -> Params:
+        st = self.config.stage(unet_number)
+        size = min(st.image_size, 64)  # init is shape-polymorphic; keep it cheap
+        kwargs = self._dummy_inputs(unet_number, batch_size, size)
+        return self.models[unet_number - 1].init(key, **kwargs)
+
+    def _dummy_inputs(self, unet_number: int, batch: int, size: int) -> Dict:
+        st = self.config.stage(unet_number)
+        kwargs: Dict[str, Any] = dict(
+            x=jnp.zeros((batch, size, size, self.config.channels)),
+            time=jnp.zeros((batch,)),
+        )
+        if st.unet.lowres_cond:
+            kwargs["lowres_cond_img"] = jnp.zeros((batch, size, size, self.config.channels))
+            kwargs["lowres_noise_times"] = jnp.zeros((batch,))
+        if st.unet.cond_images_channels:
+            kwargs["cond_images"] = jnp.zeros(
+                (batch, size, size, st.unet.cond_images_channels)
+            )
+        if st.unet.text_embed_dim is not None:
+            kwargs["text_embeds"] = jnp.zeros((batch, 1, st.unet.text_embed_dim))
+            kwargs["cond_drop_mask"] = jnp.zeros((batch,))
+        return kwargs
+
+    # ---- training loss ---------------------------------------------------
+
+    def stage_loss(
+        self,
+        params: Params,
+        unet_number: int,
+        key: Array,
+        images: Array,
+        *,
+        text_embeds: Optional[Array] = None,
+        cond_images: Optional[Array] = None,
+    ) -> Array:
+        """Mean diffusion loss for one stage on a batch of [0,1] images.
+
+        `images` may be at any resolution >= the stage size (the dataset's
+        native patch size); targets and the low-res conditioning are both
+        derived from it, exactly as the reference trainer does by feeding
+        full-res patches to every stage.
+        """
+        cfg = self.config
+        st = cfg.stage(unet_number)
+        model = self.models[unet_number - 1]
+        gd = self.diffusions[unet_number - 1]
+        b = images.shape[0]
+
+        k_time, k_noise, k_crop, k_aug, k_augn, k_drop = jax.random.split(key, 6)
+
+        x_start = normalize_img(resize_image_to(images, st.image_size, "linear"))
+
+        model_kwargs: Dict[str, Any] = {}
+        if st.unet.lowres_cond:
+            prev_size = cfg.stage(unet_number - 1).image_size
+            lowres = resize_image_to(
+                resize_image_to(images, prev_size, "linear"), st.image_size, "nearest"
+            )
+            lowres = normalize_img(lowres)
+        else:
+            lowres = None
+
+        if st.random_crop_size is not None:
+            if lowres is not None:
+                x_start, lowres = _random_crop_pair(k_crop, st.random_crop_size, x_start, lowres)
+            else:
+                (x_start,) = _random_crop_pair(k_crop, st.random_crop_size, x_start)
+
+        if lowres is not None:
+            # noise-conditioning augmentation
+            aug_times = jax.random.uniform(
+                k_aug, (b,), jnp.float32, 0.0, cfg.lowres_max_aug_level
+            )
+            aug_noise = jax.random.normal(k_augn, lowres.shape, jnp.float32)
+            lowres_noised, *_ = self.lowres_diffusion.q_sample(lowres, aug_times, aug_noise)
+            model_kwargs["lowres_cond_img"] = lowres_noised
+            model_kwargs["lowres_noise_times"] = aug_times
+
+        if st.unet.cond_images_channels:
+            assert cond_images is not None
+            model_kwargs["cond_images"] = cond_images
+
+        if cfg.condition_on_text and st.unet.text_embed_dim is not None:
+            assert text_embeds is not None
+            model_kwargs["text_embeds"] = text_embeds
+            model_kwargs["cond_drop_mask"] = jax.random.bernoulli(
+                k_drop, cfg.cond_drop_prob, (b,)
+            ).astype(jnp.float32)
+
+        times = gd.sample_random_times(k_time, b)
+        noise = jax.random.normal(k_noise, x_start.shape, jnp.float32)
+
+        def denoise_fn(x_t, t):
+            return model.apply(params, x_t, t, **model_kwargs)
+
+        losses = diffusion_loss(
+            gd, denoise_fn, x_start, times, noise, objective=st.pred_objective
+        )
+        return jnp.mean(losses)
+
+    # ---- sampling -----------------------------------------------------------
+
+    def sample_stage(
+        self,
+        params: Params,
+        unet_number: int,
+        key: Array,
+        *,
+        batch_size: int,
+        lowres_image: Optional[Array] = None,
+        text_embeds: Optional[Array] = None,
+        cond_images: Optional[Array] = None,
+        inpaint_images: Optional[Array] = None,
+        inpaint_masks: Optional[Array] = None,
+        inpaint_resample_times: int = 1,
+        cond_scale: float = 1.0,
+        use_ddim: bool = False,
+        ddim_steps: int = 0,
+    ) -> Array:
+        """Sample one stage. `lowres_image` is the previous stage's [0,1]
+        output at any size. Returns [0,1] images at this stage's size."""
+        cfg = self.config
+        st = cfg.stage(unet_number)
+        model = self.models[unet_number - 1]
+        gd = self.diffusions[unet_number - 1]
+        size = st.image_size
+
+        key, k_lr = jax.random.split(key)
+
+        model_kwargs: Dict[str, Any] = {}
+        if st.unet.lowres_cond:
+            assert lowres_image is not None, f"stage {unet_number} needs a lowres image"
+            lowres = normalize_img(resize_image_to(lowres_image, size, "nearest"))
+            noise_level = jnp.full((batch_size,), cfg.lowres_sample_noise_level, jnp.float32)
+            lr_noise = jax.random.normal(k_lr, lowres.shape, jnp.float32)
+            lowres_noised, *_ = self.lowres_diffusion.q_sample(lowres, noise_level, lr_noise)
+            model_kwargs["lowres_cond_img"] = lowres_noised
+            model_kwargs["lowres_noise_times"] = noise_level
+        if st.unet.cond_images_channels:
+            assert cond_images is not None
+            model_kwargs["cond_images"] = cond_images
+
+        has_text = cfg.condition_on_text and st.unet.text_embed_dim is not None
+        do_cfg = has_text and cond_scale != 1.0
+
+        if has_text:
+            assert text_embeds is not None
+
+        if do_cfg:
+            # doubled-batch CFG: one forward pass evaluates cond + uncond
+            doubled_kwargs = {
+                k: jnp.concatenate([v, v], axis=0) for k, v in model_kwargs.items()
+            }
+            doubled_kwargs["text_embeds"] = jnp.concatenate([text_embeds, text_embeds], axis=0)
+            doubled_kwargs["cond_drop_mask"] = jnp.concatenate(
+                [jnp.zeros((batch_size,)), jnp.ones((batch_size,))], axis=0
+            )
+
+            def denoise_fn(x_t, t):
+                pred2 = model.apply(
+                    params,
+                    jnp.concatenate([x_t, x_t], axis=0),
+                    jnp.concatenate([t, t], axis=0),
+                    **doubled_kwargs,
+                )
+                cond_pred, uncond_pred = jnp.split(pred2, 2, axis=0)
+                return uncond_pred + (cond_pred - uncond_pred) * cond_scale
+
+        else:
+            if has_text:
+                model_kwargs["text_embeds"] = text_embeds
+                model_kwargs["cond_drop_mask"] = jnp.zeros((batch_size,))
+
+            def denoise_fn(x_t, t):
+                return model.apply(params, x_t, t, **model_kwargs)
+
+        inpaint_norm = normalize_img(inpaint_images) if inpaint_images is not None else None
+
+        if use_ddim and ddim_steps > 0 and inpaint_norm is None:
+            from .core.diffusion import ddim_sample_loop
+
+            out = ddim_sample_loop(
+                gd,
+                denoise_fn,
+                (batch_size, size, size, cfg.channels),
+                key,
+                objective=st.pred_objective,
+                num_steps=ddim_steps,
+            )
+        else:
+            out = sample_loop(
+                gd,
+                denoise_fn,
+                (batch_size, size, size, cfg.channels),
+                key,
+                objective=st.pred_objective,
+                inpaint_images=inpaint_norm,
+                inpaint_masks=inpaint_masks,
+                inpaint_resample_times=inpaint_resample_times,
+            )
+        return unnormalize_img(out)
+
+    def sample(
+        self,
+        params_per_stage: Sequence[Optional[Params]],
+        key: Array,
+        *,
+        batch_size: int,
+        text_embeds: Optional[Array] = None,
+        cond_images: Optional[Array] = None,
+        start_image: Optional[Array] = None,
+        start_at_unet_number: int = 1,
+        stop_at_unet_number: Optional[int] = None,
+        inpaint_images: Optional[Array] = None,
+        inpaint_masks: Optional[Array] = None,
+        inpaint_resample_times: int = 1,
+        cond_scale: float = 1.0,
+    ) -> Array:
+        """Cascade sampling across a window of stages, mirroring
+        `imagen.sample(start_at_unet_number=..., stop_at_unet_number=...)`
+        (/root/reference/sample_ultra_res.py:183-195). Each stage's output
+        feeds the next as the low-res conditioning image."""
+        stop = stop_at_unet_number or self.config.num_stages
+        img = start_image
+        for n in range(start_at_unet_number, stop + 1):
+            key, sk = jax.random.split(key)
+            st = self.config.stage(n)
+            stage_inpaint_images = None
+            stage_inpaint_masks = None
+            if inpaint_images is not None:
+                stage_inpaint_images = resize_image_to(inpaint_images, st.image_size, "nearest")
+                m = inpaint_masks
+                if m.ndim == 3:
+                    m = m[..., None]
+                stage_inpaint_masks = resize_image_to(m, st.image_size, "nearest")[..., 0]
+            img = self.sample_stage(
+                params_per_stage[n - 1],
+                n,
+                sk,
+                batch_size=batch_size,
+                lowres_image=img,
+                text_embeds=text_embeds,
+                cond_images=cond_images,
+                inpaint_images=stage_inpaint_images,
+                inpaint_masks=stage_inpaint_masks,
+                inpaint_resample_times=inpaint_resample_times,
+                cond_scale=cond_scale,
+            )
+        return img

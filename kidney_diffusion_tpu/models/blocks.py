@@ -1,0 +1,221 @@
+"""Building blocks for the efficient U-Net (Flax linen, NHWC).
+
+TPU-first choices:
+  * NHWC everywhere — XLA:TPU's native conv layout.
+  * Space-to-depth + 1x1 conv downsampling (becomes an MXU matmul) instead
+    of strided conv.
+  * Compute dtype (bf16) is a parameter of every block; params stay fp32.
+  * Attention is plain batched einsum here; the Pallas fused kernel in
+    kernels/attention.py is substituted at the call site when profitable.
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+from flax import linen as nn
+
+Array = jax.Array
+
+
+class SinusoidalPosEmb(nn.Module):
+    """Sinusoidal embedding of continuous diffusion time.
+
+    Times are in [0, 1]; they are scaled by 1000 internally so the
+    embedding resolves fine-grained time differences.
+    """
+
+    dim: int
+
+    @nn.compact
+    def __call__(self, t: Array) -> Array:
+        half = self.dim // 2
+        freqs = jnp.exp(
+            -jnp.log(10000.0) * jnp.arange(half, dtype=jnp.float32) / (half - 1)
+        )
+        args = t.astype(jnp.float32)[:, None] * 1000.0 * freqs[None, :]
+        return jnp.concatenate([jnp.sin(args), jnp.cos(args)], axis=-1)
+
+
+class Downsample(nn.Module):
+    """2x downsample: space-to-depth + 1x1 conv (MXU-friendly)."""
+
+    dim_out: int
+    dtype: jnp.dtype = jnp.bfloat16
+
+    @nn.compact
+    def __call__(self, x: Array) -> Array:
+        b, h, w, c = x.shape
+        x = x.reshape(b, h // 2, 2, w // 2, 2, c)
+        x = x.transpose(0, 1, 3, 2, 4, 5).reshape(b, h // 2, w // 2, 4 * c)
+        return nn.Conv(self.dim_out, (1, 1), dtype=self.dtype, name="proj")(x)
+
+
+class Upsample(nn.Module):
+    """2x upsample: nearest-neighbour + 3x3 conv."""
+
+    dim_out: int
+    dtype: jnp.dtype = jnp.bfloat16
+
+    @nn.compact
+    def __call__(self, x: Array) -> Array:
+        b, h, w, c = x.shape
+        x = jnp.repeat(jnp.repeat(x, 2, axis=1), 2, axis=2)
+        return nn.Conv(self.dim_out, (3, 3), dtype=self.dtype, name="proj")(x)
+
+
+class Block(nn.Module):
+    """3x3 conv -> GroupNorm -> (FiLM scale/shift) -> SiLU."""
+
+    dim_out: int
+    groups: int = 8
+    dtype: jnp.dtype = jnp.bfloat16
+
+    @nn.compact
+    def __call__(self, x: Array, scale_shift=None) -> Array:
+        x = nn.Conv(self.dim_out, (3, 3), dtype=self.dtype, name="conv")(x)
+        x = nn.GroupNorm(num_groups=self.groups, dtype=jnp.float32, name="norm")(x)
+        if scale_shift is not None:
+            scale, shift = scale_shift
+            x = x * (scale[:, None, None, :] + 1.0) + shift[:, None, None, :]
+        return nn.silu(x).astype(self.dtype)
+
+
+class ResnetBlock(nn.Module):
+    """Two conv blocks with FiLM time conditioning and a residual path."""
+
+    dim_out: int
+    groups: int = 8
+    dtype: jnp.dtype = jnp.bfloat16
+
+    @nn.compact
+    def __call__(self, x: Array, time_emb: Optional[Array] = None) -> Array:
+        scale_shift = None
+        if time_emb is not None:
+            emb = nn.silu(time_emb.astype(jnp.float32))
+            emb = nn.Dense(self.dim_out * 2, dtype=jnp.float32, name="time_proj")(emb)
+            scale_shift = jnp.split(emb, 2, axis=-1)
+
+        h = Block(self.dim_out, self.groups, self.dtype, name="block1")(x, scale_shift)
+        h = Block(self.dim_out, self.groups, self.dtype, name="block2")(h)
+
+        if x.shape[-1] != self.dim_out:
+            x = nn.Conv(self.dim_out, (1, 1), dtype=self.dtype, name="res_proj")(x)
+        return h + x
+
+
+def _attention(q: Array, k: Array, v: Array, dtype) -> Array:
+    """Scaled dot-product attention over (B, N, H, D) tensors."""
+    scale = q.shape[-1] ** -0.5
+    logits = jnp.einsum("bnhd,bmhd->bhnm", q * scale, k, preferred_element_type=jnp.float32)
+    weights = jax.nn.softmax(logits, axis=-1).astype(dtype)
+    return jnp.einsum("bhnm,bmhd->bnhd", weights, v)
+
+
+class SelfAttention(nn.Module):
+    heads: int = 8
+    dim_head: int = 64
+    dtype: jnp.dtype = jnp.bfloat16
+
+    @nn.compact
+    def __call__(self, x: Array, context: Optional[Array] = None) -> Array:
+        """x: (B, N, C). Optional `context` tokens are appended to k/v
+        (imagen-style hybrid self+cross attention)."""
+        b, n, c = x.shape
+        inner = self.heads * self.dim_head
+        normed = nn.LayerNorm(dtype=jnp.float32, name="norm")(x).astype(self.dtype)
+        q = nn.Dense(inner, use_bias=False, dtype=self.dtype, name="to_q")(normed)
+        k = nn.Dense(inner, use_bias=False, dtype=self.dtype, name="to_k")(normed)
+        v = nn.Dense(inner, use_bias=False, dtype=self.dtype, name="to_v")(normed)
+        m = n
+        if context is not None:
+            # context tokens live in cond_dim space; project them with their
+            # own heads and append to the k/v sequences
+            ctx = nn.LayerNorm(dtype=jnp.float32, name="ctx_norm")(context).astype(self.dtype)
+            ck = nn.Dense(inner, use_bias=False, dtype=self.dtype, name="ctx_to_k")(ctx)
+            cv = nn.Dense(inner, use_bias=False, dtype=self.dtype, name="ctx_to_v")(ctx)
+            k = jnp.concatenate([k, ck], axis=1)
+            v = jnp.concatenate([v, cv], axis=1)
+            m = n + context.shape[1]
+
+        q = q.reshape(b, n, self.heads, self.dim_head)
+        k = k.reshape(b, m, self.heads, self.dim_head)
+        v = v.reshape(b, m, self.heads, self.dim_head)
+        out = _attention(q, k, v, self.dtype).reshape(b, n, inner)
+        return nn.Dense(c, dtype=self.dtype, name="to_out")(out)
+
+
+class CrossAttention(nn.Module):
+    """Pixels attend to conditioning tokens (time tokens + text tokens)."""
+
+    heads: int = 8
+    dim_head: int = 64
+    dtype: jnp.dtype = jnp.bfloat16
+
+    @nn.compact
+    def __call__(self, x: Array, context: Array) -> Array:
+        b, n, c = x.shape
+        m = context.shape[1]
+        inner = self.heads * self.dim_head
+        normed = nn.LayerNorm(dtype=jnp.float32, name="norm")(x).astype(self.dtype)
+        ctx = nn.LayerNorm(dtype=jnp.float32, name="ctx_norm")(context).astype(self.dtype)
+        q = nn.Dense(inner, use_bias=False, dtype=self.dtype, name="to_q")(normed)
+        k = nn.Dense(inner, use_bias=False, dtype=self.dtype, name="to_k")(ctx)
+        v = nn.Dense(inner, use_bias=False, dtype=self.dtype, name="to_v")(ctx)
+        q = q.reshape(b, n, self.heads, self.dim_head)
+        k = k.reshape(b, m, self.heads, self.dim_head)
+        v = v.reshape(b, m, self.heads, self.dim_head)
+        out = _attention(q, k, v, self.dtype).reshape(b, n, inner)
+        return nn.Dense(c, dtype=self.dtype, name="to_out")(out)
+
+
+class FeedForward(nn.Module):
+    mult: int = 2
+    dtype: jnp.dtype = jnp.bfloat16
+
+    @nn.compact
+    def __call__(self, x: Array) -> Array:
+        dim = x.shape[-1]
+        h = nn.LayerNorm(dtype=jnp.float32, name="norm")(x).astype(self.dtype)
+        h = nn.Dense(dim * self.mult, dtype=self.dtype, name="in")(h)
+        h = nn.gelu(h)
+        return nn.Dense(dim, dtype=self.dtype, name="out")(h)
+
+
+class TransformerBlock(nn.Module):
+    """Self-attention (+optional context) followed by a feed-forward, on a
+    spatial feature map."""
+
+    heads: int = 8
+    dim_head: int = 64
+    ff_mult: int = 2
+    dtype: jnp.dtype = jnp.bfloat16
+
+    @nn.compact
+    def __call__(self, x: Array, context: Optional[Array] = None) -> Array:
+        b, h, w, c = x.shape
+        seq = x.reshape(b, h * w, c)
+        seq = seq + SelfAttention(self.heads, self.dim_head, self.dtype, name="attn")(
+            seq, context
+        )
+        seq = seq + FeedForward(self.ff_mult, self.dtype, name="ff")(seq)
+        return seq.reshape(b, h, w, c)
+
+
+class CrossAttentionBlock(nn.Module):
+    """Residual cross-attention applied to a spatial feature map."""
+
+    heads: int = 8
+    dim_head: int = 64
+    dtype: jnp.dtype = jnp.bfloat16
+
+    @nn.compact
+    def __call__(self, x: Array, context: Array) -> Array:
+        b, h, w, c = x.shape
+        seq = x.reshape(b, h * w, c)
+        seq = seq + CrossAttention(self.heads, self.dim_head, self.dtype, name="attn")(
+            seq, context
+        )
+        return seq.reshape(b, h, w, c)

@@ -1,0 +1,278 @@
+"""Efficient U-Net for cascaded diffusion (Flax linen, NHWC, bf16 compute).
+
+Covers the full configuration surface the reference exercises on
+imagen-pytorch's `Unet` (see /root/reference/train.py:28-67,
+train_ultra_res.py:27-62, train_kumar.py:27-53):
+
+  dim, dim_mults, cond_dim, text_embed_dim, num_resnet_blocks (int or
+  per-level tuple), layer_attns / layer_cross_attns (bool or tuple),
+  memory_efficient, init_conv_to_final_conv_residual,
+  cond_images_channels, lowres_cond.
+
+Architecture notes (TPU-first, not a translation):
+  * NHWC + space-to-depth downsampling: convs lower cleanly onto the MXU.
+  * `memory_efficient=True` downsamples at the ENTRY of every level, so
+    the deepest feature maps of the 1024² stage never materialise at
+    full resolution (the reference relies on the same trick,
+    /root/reference/train.py:47).
+  * Conditioning: FiLM time conditioning in every resnet block; "text"
+    tokens (the 3-float patient-metadata vector) + time tokens form the
+    cross-attention context; classifier-free guidance uses learned null
+    embeddings selected by a per-example drop mask.
+  * Low-res conditioning (super-res stages): the upsampled coarse image
+    is channel-concatenated and its augmentation-noise level embedded
+    and added to the time conditioning (noise-conditioning augmentation).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Optional, Tuple, Union
+
+import jax
+import jax.numpy as jnp
+from flax import linen as nn
+
+from .blocks import (
+    CrossAttentionBlock,
+    Downsample,
+    ResnetBlock,
+    SinusoidalPosEmb,
+    TransformerBlock,
+    Upsample,
+)
+
+Array = jax.Array
+
+
+def _per_level(value, num_levels: int) -> Tuple:
+    if isinstance(value, (tuple, list)):
+        assert len(value) == num_levels, f"{value} vs {num_levels} levels"
+        return tuple(value)
+    return (value,) * num_levels
+
+
+@dataclasses.dataclass(frozen=True)
+class UNetConfig:
+    """Static configuration — hashable so jitted fns can close over it."""
+
+    dim: int = 128
+    dim_mults: Tuple[int, ...] = (1, 2, 4, 8)
+    channels: int = 3
+    cond_dim: Optional[int] = None  # defaults to dim
+    text_embed_dim: Optional[int] = None  # None => unconditional on text
+    num_resnet_blocks: Union[int, Tuple[int, ...]] = 1
+    layer_attns: Union[bool, Tuple[bool, ...]] = False
+    layer_cross_attns: Union[bool, Tuple[bool, ...]] = False
+    attn_heads: int = 8
+    attn_dim_head: int = 64
+    ff_mult: int = 2
+    memory_efficient: bool = False
+    init_conv_to_final_conv_residual: bool = False
+    cond_images_channels: int = 0
+    lowres_cond: bool = False
+    num_time_tokens: int = 2
+    groups: int = 8
+    dtype: str = "bfloat16"  # compute dtype; params are always fp32
+
+    @property
+    def num_levels(self) -> int:
+        return len(self.dim_mults)
+
+    @property
+    def resolved_cond_dim(self) -> int:
+        return self.cond_dim or self.dim
+
+    @property
+    def compute_dtype(self):
+        return jnp.dtype(self.dtype)
+
+    def param_count(self, params) -> int:
+        return sum(p.size for p in jax.tree.leaves(params))
+
+
+class EfficientUNet(nn.Module):
+    config: UNetConfig
+
+    @nn.compact
+    def __call__(
+        self,
+        x: Array,
+        time: Array,
+        *,
+        text_embeds: Optional[Array] = None,
+        cond_images: Optional[Array] = None,
+        lowres_cond_img: Optional[Array] = None,
+        lowres_noise_times: Optional[Array] = None,
+        cond_drop_mask: Optional[Array] = None,
+    ) -> Array:
+        cfg = self.config
+        dt = cfg.compute_dtype
+        b, h_in, w_in, _ = x.shape
+
+        num_levels = cfg.num_levels
+        dims = tuple(cfg.dim * m for m in cfg.dim_mults)
+        blocks_per = _per_level(cfg.num_resnet_blocks, num_levels)
+        attns_per = _per_level(cfg.layer_attns, num_levels)
+        cross_per = _per_level(cfg.layer_cross_attns, num_levels)
+        time_cond_dim = cfg.dim * 4
+        cond_dim = cfg.resolved_cond_dim
+
+        # ---- assemble input channels -------------------------------------
+        parts = [x.astype(dt)]
+        if cfg.lowres_cond:
+            assert lowres_cond_img is not None, "stage configured with lowres_cond"
+            parts.append(lowres_cond_img.astype(dt))
+        if cfg.cond_images_channels:
+            assert cond_images is not None, (
+                f"model expects {cfg.cond_images_channels} cond_image channels"
+            )
+            if cond_images.shape[1] != h_in or cond_images.shape[2] != w_in:
+                cond_images = jax.image.resize(
+                    cond_images,
+                    (b, h_in, w_in, cond_images.shape[-1]),
+                    method="nearest",
+                )
+            parts.append(cond_images.astype(dt))
+        x = jnp.concatenate(parts, axis=-1)
+
+        # ---- time conditioning --------------------------------------------
+        t_hidden = SinusoidalPosEmb(cfg.dim, name="time_pos_emb")(time)
+        t_hidden = nn.silu(nn.Dense(time_cond_dim, dtype=jnp.float32, name="time_mlp")(t_hidden))
+        t_cond = nn.Dense(time_cond_dim, dtype=jnp.float32, name="to_time_cond")(t_hidden)
+        time_tokens = nn.Dense(
+            cond_dim * cfg.num_time_tokens, dtype=jnp.float32, name="to_time_tokens"
+        )(t_hidden).reshape(b, cfg.num_time_tokens, cond_dim)
+
+        if cfg.lowres_cond:
+            if lowres_noise_times is None:
+                lowres_noise_times = jnp.zeros((b,), jnp.float32)
+            lr_hidden = SinusoidalPosEmb(cfg.dim, name="lowres_time_pos_emb")(lowres_noise_times)
+            lr_hidden = nn.silu(
+                nn.Dense(time_cond_dim, dtype=jnp.float32, name="lowres_time_mlp")(lr_hidden)
+            )
+            t_cond = t_cond + nn.Dense(
+                time_cond_dim, dtype=jnp.float32, name="lowres_to_time_cond"
+            )(lr_hidden)
+            lr_tokens = nn.Dense(
+                cond_dim * cfg.num_time_tokens, dtype=jnp.float32, name="lowres_to_time_tokens"
+            )(lr_hidden).reshape(b, cfg.num_time_tokens, cond_dim)
+            time_tokens = jnp.concatenate([time_tokens, lr_tokens], axis=1)
+
+        # ---- text ("metadata vector") conditioning with CFG null tokens ----
+        context = time_tokens
+        if cfg.text_embed_dim is not None and text_embeds is not None:
+            n_tok = text_embeds.shape[1]
+            text_tokens = nn.Dense(cond_dim, dtype=jnp.float32, name="text_to_cond")(
+                text_embeds.astype(jnp.float32)
+            )
+            null_token = self.param(
+                "null_text_token", nn.initializers.normal(0.02), (1, 1, cond_dim)
+            )
+            null_pooled = self.param(
+                "null_text_pooled", nn.initializers.normal(0.02), (1, time_cond_dim)
+            )
+            pooled = jnp.mean(text_tokens, axis=1)
+            pooled = nn.silu(
+                nn.Dense(time_cond_dim, dtype=jnp.float32, name="text_pool_proj")(pooled)
+            )
+            if cond_drop_mask is not None:
+                keep = (1.0 - cond_drop_mask.astype(jnp.float32))[:, None, None]
+                text_tokens = text_tokens * keep + null_token * (1.0 - keep)
+                pooled = pooled * keep[:, :, 0] + null_pooled * (1.0 - keep[:, :, 0])
+            t_cond = t_cond + pooled
+            context = jnp.concatenate([time_tokens, text_tokens], axis=1)
+
+        context = context.astype(dt)
+
+        # ---- init conv -----------------------------------------------------
+        x = nn.Conv(cfg.dim, (3, 3), dtype=dt, name="init_conv")(x)
+        init_conv_out = x
+
+        # ---- down path -------------------------------------------------------
+        skips = []
+        for i in range(num_levels):
+            d = dims[i]
+            if cfg.memory_efficient:
+                x = Downsample(d, dt, name=f"down{i}_pre")(x)
+            x = ResnetBlock(d, cfg.groups, dt, name=f"down{i}_block0")(x, t_cond)
+            if cross_per[i]:
+                x = CrossAttentionBlock(
+                    cfg.attn_heads, cfg.attn_dim_head, dt, name=f"down{i}_cross"
+                )(x, context)
+            skips.append(x)
+            for j in range(blocks_per[i]):
+                x = ResnetBlock(d, cfg.groups, dt, name=f"down{i}_block{j + 1}")(x, t_cond)
+                skips.append(x)
+            if attns_per[i]:
+                x = TransformerBlock(
+                    cfg.attn_heads, cfg.attn_dim_head, cfg.ff_mult, dt, name=f"down{i}_attn"
+                )(x, context)
+            if not cfg.memory_efficient and i < num_levels - 1:
+                x = Downsample(dims[i + 1], dt, name=f"down{i}_post")(x)
+
+        # ---- middle ----------------------------------------------------------
+        x = ResnetBlock(dims[-1], cfg.groups, dt, name="mid_block1")(x, t_cond)
+        if cross_per[-1]:
+            x = CrossAttentionBlock(cfg.attn_heads, cfg.attn_dim_head, dt, name="mid_cross")(
+                x, context
+            )
+        if attns_per[-1]:
+            x = TransformerBlock(
+                cfg.attn_heads, cfg.attn_dim_head, cfg.ff_mult, dt, name="mid_attn"
+            )(x, context)
+        x = ResnetBlock(dims[-1], cfg.groups, dt, name="mid_block2")(x, t_cond)
+
+        # ---- up path -----------------------------------------------------------
+        for i in reversed(range(num_levels)):
+            d = dims[i]
+            for j in range(blocks_per[i] + 1):
+                skip = skips.pop()
+                x = jnp.concatenate([x, skip], axis=-1)
+                x = ResnetBlock(d, cfg.groups, dt, name=f"up{i}_block{j}")(x, t_cond)
+            if cross_per[i]:
+                x = CrossAttentionBlock(
+                    cfg.attn_heads, cfg.attn_dim_head, dt, name=f"up{i}_cross"
+                )(x, context)
+            if attns_per[i]:
+                x = TransformerBlock(
+                    cfg.attn_heads, cfg.attn_dim_head, cfg.ff_mult, dt, name=f"up{i}_attn"
+                )(x, context)
+            if cfg.memory_efficient:
+                up_dim = dims[i - 1] if i > 0 else cfg.dim
+                x = Upsample(up_dim, dt, name=f"up{i}_upsample")(x)
+            elif i > 0:
+                x = Upsample(dims[i - 1], dt, name=f"up{i}_upsample")(x)
+
+        assert not skips, "skip connection mismatch"
+
+        # ---- final -----------------------------------------------------------
+        if cfg.init_conv_to_final_conv_residual:
+            x = jnp.concatenate([x, init_conv_out], axis=-1)
+        x = ResnetBlock(cfg.dim, cfg.groups, dt, name="final_block")(x, t_cond)
+        out = nn.Conv(
+            cfg.channels,
+            (3, 3),
+            dtype=jnp.float32,
+            kernel_init=nn.initializers.zeros,
+            name="final_conv",
+        )(x.astype(jnp.float32))
+        return out
+
+
+class NullUNet:
+    """Identity placeholder for cascade stages not owned by this process.
+
+    Mirrors the reference's `FixedNullUnet` pattern
+    (/root/reference/train.py:70-80): an Imagen-like cascade object can
+    describe all stages while only stage k has real parameters.
+    """
+
+    def __init__(self, lowres_cond: bool = False):
+        self.lowres_cond = lowres_cond
+
+    def init(self, *args, **kwargs):
+        return {}
+
+    def apply(self, params, x, *args, **kwargs):
+        return x
