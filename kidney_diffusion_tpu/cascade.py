@@ -203,6 +203,63 @@ class Cascade:
         use_ddim: bool = False,
         ddim_steps: int = 0,
     ) -> Array:
+        """Jit-cached stage sampling (one compiled program per
+        (stage, batch, conditioning-signature); retraces only on new
+        shapes). The gigapixel orchestrator calls this once per wave."""
+        static_key = (
+            unet_number,
+            batch_size,
+            inpaint_resample_times,
+            float(cond_scale),
+            use_ddim,
+            ddim_steps,
+        )
+        if not hasattr(self, "_stage_jit_cache"):
+            self._stage_jit_cache = {}
+        if static_key not in self._stage_jit_cache:
+
+            def fn(params, key, lowres_image, text_embeds, cond_images,
+                   inpaint_images, inpaint_masks):
+                return self._sample_stage_impl(
+                    params,
+                    unet_number,
+                    key,
+                    batch_size=batch_size,
+                    lowres_image=lowres_image,
+                    text_embeds=text_embeds,
+                    cond_images=cond_images,
+                    inpaint_images=inpaint_images,
+                    inpaint_masks=inpaint_masks,
+                    inpaint_resample_times=inpaint_resample_times,
+                    cond_scale=cond_scale,
+                    use_ddim=use_ddim,
+                    ddim_steps=ddim_steps,
+                )
+
+            self._stage_jit_cache[static_key] = jax.jit(fn)
+
+        return self._stage_jit_cache[static_key](
+            params, key, lowres_image, text_embeds, cond_images,
+            inpaint_images, inpaint_masks,
+        )
+
+    def _sample_stage_impl(
+        self,
+        params: Params,
+        unet_number: int,
+        key: Array,
+        *,
+        batch_size: int,
+        lowres_image: Optional[Array] = None,
+        text_embeds: Optional[Array] = None,
+        cond_images: Optional[Array] = None,
+        inpaint_images: Optional[Array] = None,
+        inpaint_masks: Optional[Array] = None,
+        inpaint_resample_times: int = 1,
+        cond_scale: float = 1.0,
+        use_ddim: bool = False,
+        ddim_steps: int = 0,
+    ) -> Array:
         """Sample one stage. `lowres_image` is the previous stage's [0,1]
         output at any size. Returns [0,1] images at this stage's size."""
         cfg = self.config

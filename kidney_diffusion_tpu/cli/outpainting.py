@@ -1,0 +1,60 @@
+"""Outpainting CLI: unconditional gigapixel-style grid generation.
+
+Equivalent of /root/reference/outpainting.py: a full N×N patch grid with
+wavefront ordering and overlap-inpaint seams, no coarse conditioning,
+stitched onto a zero canvas.
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+from uuid import uuid4
+
+import jax
+import numpy as np
+
+from ..cascade import Cascade
+from ..models.configs import patch_unconditional
+from ..sample.outpaint import generate_outpainted_image
+from ..train import Trainer
+from ..utils.logging import save_image
+
+
+def parse_args():
+    p = argparse.ArgumentParser()
+    p.add_argument("--checkpoint", type=str, required=True)
+    p.add_argument("--num_patches_width", type=int, default=4)
+    p.add_argument("--overlap", type=float, default=0.25)
+    p.add_argument("--inpaint_resample", type=int, default=1)
+    p.add_argument("--sample_dir", type=str, default="samples")
+    p.add_argument("--max_wave_batch", type=int, default=16)
+    p.add_argument("--seed", type=int, default=None)
+    return p.parse_args()
+
+
+def main():
+    args = parse_args()
+    os.makedirs(args.sample_dir, exist_ok=True)
+
+    config = patch_unconditional()
+    cascade = Cascade(config)
+    trainer = Trainer(cascade)
+    trainer.load(args.checkpoint, partial=True)
+    params = [trainer.state(n).ema_params for n in range(1, config.num_stages + 1)]
+
+    seed = args.seed if args.seed is not None else np.random.randint(2**31)
+    canvas = generate_outpainted_image(
+        cascade, params, jax.random.PRNGKey(seed),
+        num_patches_width=args.num_patches_width,
+        overlap=args.overlap,
+        inpaint_resample_times=args.inpaint_resample,
+        max_wave_batch=args.max_wave_batch,
+    )
+    out = f"{args.sample_dir}/OUTPAINT-{uuid4().hex[:8]}.jpg"
+    save_image(canvas, out)
+    print(f"saved {out} ({canvas.shape})")
+
+
+if __name__ == "__main__":
+    main()

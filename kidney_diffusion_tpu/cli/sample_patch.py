@@ -1,0 +1,139 @@
+"""Batched cascade patch sampler CLI (conditioned / unconditional / from
+labelmaps).
+
+Covers three reference scripts:
+  * /root/reference/sample.py      — fixed metadata conds, zero labelmap,
+    stage-at-a-time batches BATCH_SIZES=[128, 64, 6], --cond_scale CFG
+  * /root/reference/sample_uncond.py — unconditional, [64, 64, 6]
+  * /root/reference/sample_cond.py   — labelmaps from .npy files expanded
+    to one-hot 4-channel, optional glom/tubules-only filter, 3 variants
+    per mask (--from_labelmaps)
+
+TPU-first: intermediate stage outputs stay on device between stages;
+only the final PNGs cross to host (the reference round-trips every
+stage through CPU, sample.py:63).
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+from glob import glob
+from uuid import uuid4
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from ..cascade import Cascade
+from ..models.configs import patch_conditioned, patch_unconditional
+from ..train import Trainer
+from ..utils.logging import save_image
+
+COND_BATCH_SIZES = (128, 64, 6)  # sample.py:19
+UNCOND_BATCH_SIZES = (64, 64, 6)  # sample_uncond.py:19
+DEFAULT_CONDS = (0.0, 0.5, 0.2)  # sample.py:43
+NUM_LABEL_CHANNELS = 4
+
+
+def parse_args():
+    p = argparse.ArgumentParser()
+    p.add_argument("--checkpoint", type=str, required=True,
+                   help="trainer checkpoint holding the stages to use")
+    p.add_argument("--num_images", type=int, default=6)
+    p.add_argument("--cond_scale", type=float, default=1.0)
+    p.add_argument("--sample_dir", type=str, default="samples")
+    p.add_argument("--unconditional", action="store_true")
+    p.add_argument("--from_labelmaps", type=str, default=None,
+                   help="directory of .npy labelmaps (sample_cond.py mode)")
+    p.add_argument("--labelmap_filter", type=str, default=None,
+                   choices=(None, "glom_tubules"),
+                   help="zero all but glomeruli+tubuli channels")
+    p.add_argument("--variants_per_mask", type=int, default=3)
+    p.add_argument("--stop_at_unet_number", type=int, default=None)
+    return p.parse_args()
+
+
+def load_labelmaps(directory: str, flt: str | None) -> np.ndarray:
+    """Integer .npy labelmaps -> one-hot 4-channel float
+    (sample_cond.py:76-80)."""
+    maps = []
+    for path in sorted(glob(os.path.join(directory, "*.npy"))):
+        lm = np.load(path)
+        onehot = np.stack(
+            [(lm == c + 1).astype(np.float32) for c in range(NUM_LABEL_CHANNELS)],
+            axis=-1,
+        )
+        if flt == "glom_tubules":
+            onehot[..., 1] = 0  # vein/vessel
+            onehot[..., 2] = 0  # artery
+        maps.append(onehot)
+    assert maps, f"no .npy labelmaps in {directory}"
+    return np.stack(maps)
+
+
+def main():
+    args = parse_args()
+    os.makedirs(args.sample_dir, exist_ok=True)
+
+    config = patch_unconditional() if args.unconditional else patch_conditioned()
+    cascade = Cascade(config)
+    trainer = Trainer(cascade)
+    trainer.load(args.checkpoint, partial=True)
+    params = [
+        trainer.state(n).ema_params if n in trainer._states else None
+        for n in range(1, config.num_stages + 1)
+    ]
+
+    if args.from_labelmaps:
+        labelmaps = load_labelmaps(args.from_labelmaps, args.labelmap_filter)
+        labelmaps = np.repeat(labelmaps, args.variants_per_mask, axis=0)
+        n_total = labelmaps.shape[0]
+    else:
+        labelmaps = None
+        n_total = args.num_images
+
+    batch_sizes = UNCOND_BATCH_SIZES if args.unconditional else COND_BATCH_SIZES
+    stop = args.stop_at_unet_number or config.num_stages
+    # the smallest per-stage batch bounds the chunk size end-to-end
+    chunk = min(batch_sizes[:stop])
+
+    key = jax.random.PRNGKey(np.random.randint(2**31))
+    generated = 0
+    run_id = uuid4().hex[:8]
+    while generated < n_total:
+        b = min(chunk, n_total - generated)
+        kwargs = {}
+        if not args.unconditional:
+            kwargs["text_embeds"] = jnp.tile(
+                jnp.asarray(DEFAULT_CONDS)[None, None, :], (b, 1, 1)
+            )
+            if labelmaps is not None:
+                kwargs["cond_images"] = jnp.asarray(
+                    labelmaps[generated : generated + b]
+                )
+            else:
+                # zero labelmap (sample.py:55)
+                kwargs["cond_images"] = jnp.zeros((b, 1024, 1024, 4))
+
+        key, sk = jax.random.split(key)
+        images = cascade.sample(
+            params,
+            sk,
+            batch_size=b,
+            stop_at_unet_number=stop,
+            cond_scale=args.cond_scale,
+            **kwargs,
+        )
+        images = np.asarray(images)
+        for i in range(b):
+            save_image(
+                images[i],
+                os.path.join(args.sample_dir, f"sample-{run_id}-{generated + i}.png"),
+            )
+        generated += b
+        print(f"{generated}/{n_total} images generated", flush=True)
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,117 @@
+"""Gigapixel WSI sampler CLI — the flagship entry point.
+
+Equivalent of /root/reference/sample_ultra_res.py: generate a mag-0
+whole-slide overview, then recursively refine mag-1 and mag-2 with the
+batched-wavefront orchestrator (sample/gigapixel.py).
+
+    python -m kidney_diffusion_tpu.cli.sample_ultra_res \
+        --ckpt_mag0 ... --ckpt_mag1 ... --ckpt_mag2 ... \
+        --overlap 0.25 --inpaint_resample 4 --version v_param
+
+Checkpoints are per magnification level (one trainer checkpoint holds
+all three stages of that level — vs the reference's 9 separate paths,
+sample_ultra_res.py:474-482; per-stage partial checkpoints also load
+thanks to shape-tolerant restore).
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+from uuid import uuid4
+
+import jax
+import numpy as np
+
+from ..cascade import Cascade
+from ..data.wsi import AIRS_MAG_LEVEL_SIZES, MAG_LEVEL_SIZES
+from ..models.configs import ultra_res
+from ..sample.gigapixel import generate_high_res_image
+from ..train import Trainer
+from ..utils.logging import save_image
+
+
+def parse_args():
+    p = argparse.ArgumentParser()
+    p.add_argument("--ckpt_mag0", type=str, required=True)
+    p.add_argument("--ckpt_mag1", type=str, required=True)
+    p.add_argument("--ckpt_mag2", type=str, required=True)
+    p.add_argument("--version", type=str, default="v1",
+                   choices=("v1", "v2", "v_param", "airs"))
+    p.add_argument("--overlap", type=float, default=0.25)
+    p.add_argument("--inpaint_resample", type=int, default=1)
+    p.add_argument("--sample_dir", type=str, default="samples")
+    p.add_argument("--ignore_unet_1", action="store_true")
+    p.add_argument("--max_wave_batch", type=int, default=16)
+    p.add_argument("--seed", type=int, default=None)
+    p.add_argument("--stop_at_mag", type=int, default=2)
+    return p.parse_args()
+
+
+def load_level_params(ckpt: str, mag: int, version: str):
+    config = ultra_res(mag, version)
+    cascade = Cascade(config)
+    trainer = Trainer(cascade)
+    trainer.load(ckpt, partial=True)
+    params = [
+        trainer.state(n).ema_params
+        for n in range(1, config.num_stages + 1)
+    ]
+    return cascade, params
+
+
+def main():
+    args = parse_args()
+    os.makedirs(args.sample_dir, exist_ok=True)
+    sample_id = uuid4().hex[:8]
+    postfix = "" if not args.version else "-" + args.version
+    airs = args.version == "airs"
+    mag_sizes = AIRS_MAG_LEVEL_SIZES if airs else MAG_LEVEL_SIZES
+
+    seed = args.seed if args.seed is not None else np.random.randint(2**31)
+    key = jax.random.PRNGKey(seed)
+
+    # mag 0: one full-cascade patch, unconditional
+    cascade0, params0 = load_level_params(args.ckpt_mag0, 0, args.version)
+    key, sk = jax.random.split(key)
+    mag0 = np.asarray(cascade0.sample(params0, sk, batch_size=1))[0]
+    save_image(mag0, f"{args.sample_dir}/MAG0-{sample_id}{postfix}.jpg")
+    print(f"MAG0 saved ({mag0.shape})", flush=True)
+    del cascade0, params0
+    if args.stop_at_mag < 1:
+        return
+
+    # mag 1: refine the overview
+    cascade1, params1 = load_level_params(args.ckpt_mag1, 1, args.version)
+    key, sk = jax.random.split(key)
+    mag1 = generate_high_res_image(
+        cascade1, params1, sk, mag0.astype(np.float32), 1,
+        overlap=args.overlap, mag_sizes=mag_sizes,
+        center_cond=(args.version == "v2"), airs=airs,
+        inpaint_resample_times=args.inpaint_resample,
+        ignore_stage_1=args.ignore_unet_1,
+        max_wave_batch=args.max_wave_batch,
+    )
+    save_image(mag1, f"{args.sample_dir}/MAG1-{sample_id}{postfix}.jpg")
+    print(f"MAG1 saved ({mag1.shape})", flush=True)
+    del cascade1, params1
+    if args.stop_at_mag < 2:
+        return
+
+    # mag 2: refine to native resolution (tissue-filtered patches)
+    cascade2, params2 = load_level_params(args.ckpt_mag2, 2, args.version)
+    key, sk = jax.random.split(key)
+    mag2 = generate_high_res_image(
+        cascade2, params2, sk, mag1.astype(np.float32) / 255.0, 2,
+        overlap=args.overlap, mag_sizes=mag_sizes,
+        center_cond=(args.version == "v2"), airs=airs,
+        inpaint_resample_times=args.inpaint_resample,
+        ignore_stage_1=args.ignore_unet_1,
+        max_wave_batch=args.max_wave_batch,
+    )
+    save_image(mag2, f"{args.sample_dir}/MAG2-{sample_id}{postfix}.jpg")
+    print(f"MAG2 saved ({mag2.shape})", flush=True)
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,72 @@
+"""Kumar nuclei trainer CLI.
+
+Equivalent of /root/reference/train_kumar.py: 2-stage 64->256 cascade
+conditioned on a binary nuclei mask + (type, disease) metadata, finite
+200k-step run, batch 16 with grad-accumulation chunks of 4
+(train_kumar.py:134,147-148).
+"""
+
+from __future__ import annotations
+
+import argparse
+
+from ..cascade import Cascade
+from ..data.kumar import KumarDataset
+from ..models.configs import kumar
+from ..train import Trainer
+from .train_loop import default_sample_fn, run_training
+
+
+def parse_args():
+    p = argparse.ArgumentParser()
+    p.add_argument("--checkpoint", type=str, default=None)
+    p.add_argument("--unet_number", type=int, choices=(1, 2), required=True)
+    p.add_argument("--data_path", type=str, required=True)
+    p.add_argument("--batch_size", type=int, default=16)
+    p.add_argument("--max_batch_size", type=int, default=4,
+                   help="grad-accum chunk size (train_kumar.py:148)")
+    p.add_argument("--max_steps", type=int, default=200_000)
+    p.add_argument("--sample_freq", type=int, default=500)
+    p.add_argument("--resume", action="store_true")
+    p.add_argument("--run_id", type=str, default=None)
+    p.add_argument("--num_workers", type=int, default=8)
+    p.add_argument("--no_wandb", action="store_true")
+    return p.parse_args()
+
+
+def main():
+    args = parse_args()
+    chunks = max(args.batch_size // args.max_batch_size, 1)
+    trainer = Trainer(
+        Cascade(kumar()),
+        only_train_unet_number=args.unet_number,
+        grad_accum_chunks=chunks,
+    )
+
+    dataset = KumarDataset(args.data_path)
+    keywords = ("images", "text_embeds", "cond_images")
+    trainer.add_train_dataset(
+        dataset, batch_size=args.batch_size, num_workers=args.num_workers,
+        keywords=keywords,
+    )
+    trainer.add_valid_dataset(
+        dataset, batch_size=args.batch_size, num_workers=args.num_workers,
+        keywords=keywords,
+    )
+
+    run_training(
+        trainer,
+        unet_number=args.unet_number,
+        checkpoint_path=args.checkpoint or f"./ckpt_kumar_unet{args.unet_number}",
+        sample_freq=args.sample_freq,
+        max_steps=args.max_steps,
+        sample_fn=default_sample_fn(dataset, args.unet_number),
+        project="kumar",
+        run_id=args.run_id,
+        resume=args.resume,
+        use_wandb=not args.no_wandb,
+    )
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,112 @@
+"""Shared training loop for every train CLI.
+
+Mirrors the reference's per-script `main()` loop shape
+(/root/reference/train.py:206-246, train_ultra_res.py:187-251): an
+infinite (or step-bounded) loop of train steps with
+
+  * validation every `valid_every` steps (reference: 50, train.py:214)
+  * checkpoint + EMA sample dump every `sample_freq` steps
+  * optional unique-name checkpoints every `save_freq` steps
+    (train_uncond.py:197-202)
+  * cold-start resume via trainer.load(noop_if_not_exist=True)
+"""
+
+from __future__ import annotations
+
+import os
+from typing import Callable, Optional
+
+import numpy as np
+
+from ..train import Trainer
+from ..utils.logging import MetricsLogger, generate_run_id, save_image
+
+
+def run_training(
+    trainer: Trainer,
+    *,
+    unet_number: int,
+    checkpoint_path: str,
+    sample_freq: int = 500,
+    valid_every: int = 50,
+    save_freq: Optional[int] = None,
+    max_steps: Optional[int] = None,
+    sample_fn: Optional[Callable[[Trainer, int, str], None]] = None,
+    sample_dir: str = "samples",
+    project: str = "training",
+    run_id: Optional[str] = None,
+    resume: bool = False,
+    use_wandb: bool = True,
+) -> None:
+    trainer.load(checkpoint_path, noop_if_not_exist=True)
+
+    run_id = run_id or generate_run_id()
+    logger = MetricsLogger(
+        f"{project}_unet{unet_number}", run_id=run_id, resume=resume, use_wandb=use_wandb
+    )
+    out_dir = os.path.join(sample_dir, run_id)
+    os.makedirs(out_dir, exist_ok=True)
+    trainer.print(f"Run ID: {run_id}")
+
+    while True:
+        step = trainer.num_steps_taken(unet_number)
+        if max_steps is not None and step >= max_steps:
+            trainer.save(checkpoint_path)
+            trainer.print(f"reached {max_steps} steps; saved and stopping")
+            return
+
+        loss = trainer.train_step(unet_number)
+        trainer.print(f"step {step}: unet{unet_number} loss: {loss:.5f}")
+        logger.log(step, loss=loss)
+
+        if step and step % valid_every == 0:
+            val_loss = trainer.valid_step(unet_number)
+            trainer.print(f"step {step}: unet{unet_number} validation loss: {val_loss:.5f}")
+            logger.log(step, val_loss=val_loss)
+
+        if save_freq and step and step % save_freq == 0:
+            unique = f"{os.path.splitext(checkpoint_path)[0]}-step{step}"
+            trainer.save(unique)
+            trainer.print(f"saved unique checkpoint {unique}")
+
+        if step and step % sample_freq == 0:
+            trainer.print("Saving model and sampling")
+            if sample_fn is not None:
+                try:
+                    sample_fn(trainer, step, out_dir)
+                except Exception as e:  # sampling must never kill training
+                    trainer.print(f"sampling failed: {e}")
+            trainer.save(checkpoint_path)
+            trainer.print("Finished sampling and saving model!")
+
+
+def default_sample_fn(dataset, unet_number: int, *, batch_size: int = 2):
+    """EMA samples conditioned on dataset items, saved as PNGs — the
+    reference's periodic sample dump (train.py:226-242)."""
+
+    def fn(trainer: Trainer, step: int, out_dir: str):
+        items = [dataset[0], dataset[np.random.randint(len(dataset))]][:batch_size]
+        kwargs = {}
+        first = items[0]
+        if isinstance(first, tuple):
+            images = np.stack([it[0] for it in items])
+            if len(first) == 3:
+                kwargs["text_embeds"] = np.stack([it[1] for it in items])
+                kwargs["cond_images"] = np.stack([it[2] for it in items])
+            else:
+                kwargs["cond_images"] = np.stack([it[1] for it in items])
+        else:
+            images = np.stack(items)
+
+        out = trainer.sample(
+            batch_size=len(items),
+            start_image=images,
+            start_at_unet_number=unet_number,
+            stop_at_unet_number=unet_number,
+            **kwargs,
+        )
+        out = np.asarray(out)
+        for i in range(out.shape[0]):
+            save_image(out[i], os.path.join(out_dir, f"sample-{step}-{i}.png"))
+
+    return fn

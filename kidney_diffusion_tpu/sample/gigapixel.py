@@ -1,0 +1,467 @@
+"""Gigapixel whole-slide generation — the batched-wavefront orchestrator.
+
+Re-designs /root/reference/sample_ultra_res.py (the reference's
+centerpiece) TPU-first. The reference runs ONE patch per GPU worker
+process per denoise pass, moving every patch host<->device and pickling
+tensors through mp.Queues. Here:
+
+  * the dependency schedule is computed up front (sample/wavefront.py)
+  * each wave of ready patches is ONE batched, jit-cached,
+    device-resident denoise scan (sample_stage) — patches/sec scales
+    with the batch dim instead of process count
+  * cond-image recentering is a direct crop-with-fill (mathematically
+    identical to the reference's roll + fill + CenterCrop,
+    sample_ultra_res.py:358-391, but O(patch) instead of O(image))
+  * overlap strips for RePaint seam blending are assembled on host in
+    numpy between waves (tiny vs the denoise compute) exactly as
+    sample_ultra_res.py:149-174 does
+  * the final stitch pastes generated patches onto a bilinearly
+    upscaled coarse canvas (sample_ultra_res.py:430-448), built in
+    uint8 and chunked so a 40k² canvas needs ~5 GB instead of ~20 GB
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import math
+from typing import Dict, List, Optional, Sequence, Tuple
+
+import jax
+import numpy as np
+
+from ..cascade import Cascade
+from ..data.wsi import MAG_LEVEL_SIZES, PATCH_SIZE, inner_patch_width, resize_nearest
+from ..ops.image import foreground_mask_for_patches
+from .wavefront import Pos, bucket_size, choose_orientation, full_grid, plan_waves
+
+
+# ---------------------------------------------------------------------------
+# host-side resize helpers
+# ---------------------------------------------------------------------------
+
+
+def resize_bilinear(img: np.ndarray, out_h: int, out_w: int) -> np.ndarray:
+    """Bilinear resize (HWC float) — half-pixel-centered like
+    F.interpolate(align_corners=False)."""
+    h, w = img.shape[:2]
+    if h == out_h and w == out_w:
+        return img
+    ys = (np.arange(out_h) + 0.5) * h / out_h - 0.5
+    xs = (np.arange(out_w) + 0.5) * w / out_w - 0.5
+    y0 = np.clip(np.floor(ys).astype(np.int64), 0, h - 1)
+    x0 = np.clip(np.floor(xs).astype(np.int64), 0, w - 1)
+    y1 = np.minimum(y0 + 1, h - 1)
+    x1 = np.minimum(x0 + 1, w - 1)
+    wy = np.clip(ys - y0, 0.0, 1.0).astype(np.float32)[:, None, None]
+    wx = np.clip(xs - x0, 0.0, 1.0).astype(np.float32)[None, :, None]
+    img = img.astype(np.float32)
+    top = img[y0][:, x0] * (1 - wx) + img[y0][:, x1] * wx
+    bot = img[y1][:, x0] * (1 - wx) + img[y1][:, x1] * wx
+    return top * (1 - wy) + bot * wy
+
+
+def crop_with_fill(
+    img: np.ndarray, y0: int, x0: int, size: int, fill: float
+) -> np.ndarray:
+    """size² crop at (y0, x0) with out-of-bounds regions set to `fill`.
+
+    Equivalent to the reference's torch.roll + edge fill + CenterCrop
+    (sample_ultra_res.py:358-391): shifting the image so a point is at
+    the center and center-cropping IS a crop centered on that point.
+    """
+    h, w, c = img.shape
+    out = np.full((size, size, c), fill, np.float32)
+    ys, ye = max(y0, 0), min(y0 + size, h)
+    xs, xe = max(x0, 0), min(x0 + size, w)
+    if ys < ye and xs < xe:
+        out[ys - y0 : ye - y0, xs - x0 : xe - x0] = img[ys:ye, xs:xe]
+    return out
+
+
+# ---------------------------------------------------------------------------
+# conditioning-image construction
+# ---------------------------------------------------------------------------
+
+
+@dataclasses.dataclass(frozen=True)
+class GridSpec:
+    """Patch-grid geometry for one magnification level."""
+
+    patch_width: int  # width of a mag-k patch inside the mag-(k-1) image
+    patch_dist: int  # stride between patch origins in that image
+    num_patches_width: int
+    overlap: float
+
+    @classmethod
+    def build(
+        cls,
+        zoomed_width: int,
+        mag_level: int,
+        overlap: float,
+        *,
+        mag_sizes: Sequence[int] = MAG_LEVEL_SIZES,
+        patch_size: int = PATCH_SIZE,
+        airs: bool = False,
+    ) -> "GridSpec":
+        pw = inner_patch_width(mag_level, patch_size=patch_size, mag_sizes=tuple(mag_sizes))
+        pd = int(pw * (1 - overlap))
+        n = 1 + math.ceil((zoomed_width - pw) / pd)
+        if airs:  # prefer staying in bounds (sample_ultra_res.py:312-314)
+            n = max(1, n - 1)
+        return cls(pw, pd, n, overlap)
+
+
+def tissue_patch_filter(
+    zoomed_image: np.ndarray, grid: GridSpec, *, airs: bool = False
+) -> List[Pos]:
+    """mag-2 foreground filtering: only generate patches overlapping
+    tissue (sample_ultra_res.py:317-352). Mask math runs on device."""
+    mask = np.asarray(foreground_mask_for_patches(zoomed_image, airs=airs))
+    keep = []
+    for i in range(grid.num_patches_width):
+        for j in range(grid.num_patches_width):
+            y, x = i * grid.patch_dist, j * grid.patch_dist
+            window = mask[y : y + grid.patch_width, x : x + grid.patch_width]
+            if window.size and window.any():
+                keep.append((i, j))
+    return keep
+
+
+def get_cond_images(
+    zoomed_image: np.ndarray,
+    mag_level: int,
+    *,
+    overlap: float,
+    mag_sizes: Sequence[int] = MAG_LEVEL_SIZES,
+    patch_size: int = PATCH_SIZE,
+    center_cond: bool = False,  # the "v2" 6-channel variant
+    airs: bool = False,
+    fill: float = 0.95,
+) -> Tuple[np.ndarray, List[Pos], GridSpec]:
+    """Per-patch recentered conditioning images.
+
+    zoomed_image: (H, W, 3) float [0,1] — the stitched mag-(k-1) output.
+    Returns (cond_images (N, patch_size, patch_size, C), patch_pos, grid).
+    """
+    if airs:
+        fill = 0.0
+    h, w = zoomed_image.shape[:2]
+    grid = GridSpec.build(
+        w, mag_level, overlap, mag_sizes=mag_sizes, patch_size=patch_size, airs=airs
+    )
+
+    if mag_level == 2:
+        patch_pos = tissue_patch_filter(zoomed_image, grid, airs=airs)
+    else:
+        patch_pos = full_grid(grid.num_patches_width)
+
+    conds = []
+    for i, j in patch_pos:
+        cy = i * grid.patch_dist + grid.patch_width // 2
+        cx = j * grid.patch_dist + grid.patch_width // 2
+        cond = crop_with_fill(
+            zoomed_image, cy - patch_size // 2, cx - patch_size // 2, patch_size, fill
+        )
+        if center_cond:
+            pw = grid.patch_width
+            y0 = (patch_size - pw) // 2
+            center = cond[y0 : y0 + pw, y0 : y0 + pw]
+            center_up = resize_nearest(
+                (center * 255).astype(np.uint8), patch_size, patch_size
+            ).astype(np.float32) / 255.0
+            cond = np.concatenate([cond, center_up], axis=-1)
+        conds.append(cond)
+    return np.stack(conds) if conds else np.zeros((0, patch_size, patch_size, 3)), patch_pos, grid
+
+
+# ---------------------------------------------------------------------------
+# overlap-strip assembly (RePaint seam blending)
+# ---------------------------------------------------------------------------
+
+
+def assemble_inpaint_strips(
+    wave: Sequence[Pos],
+    generated: Dict[Pos, np.ndarray],
+    cond_images_by_pos: Optional[Dict[Pos, np.ndarray]],
+    grid: GridSpec,
+    stage_size: int,
+    orientation: int,
+) -> Tuple[Optional[np.ndarray], Optional[np.ndarray]]:
+    """Build (inpaint_images, inpaint_masks) for a wave at one stage size.
+
+    For each patch: if the above / next-to / diagonal neighbour was
+    generated, its overlap strip is copied in; otherwise, if the coarse
+    cond image covers that area, a bilinear-upscaled crop of it is used
+    (sample_ultra_res.py:125-174). mask=1 marks known pixels.
+    """
+    overlap_px = int(grid.overlap * stage_size)
+    if overlap_px == 0:
+        return None, None
+
+    n = grid.num_patches_width
+    imgs = np.zeros((len(wave), stage_size, stage_size, 3), np.float32)
+    masks = np.zeros((len(wave), stage_size, stage_size), np.float32)
+    any_strip = False
+
+    def neighbor_patch(pos: Pos, base: Pos) -> Optional[np.ndarray]:
+        """Neighbour pixels at stage_size² or None.
+
+        Priority mirrors sample_ultra_res.py:125-140: a generated patch
+        wins; otherwise (e.g. the neighbour was tissue-filtered out of
+        the patch set) fall back to the coarse cond image when there is
+        image space in that direction."""
+        if pos in generated:
+            p = generated[pos].astype(np.float32)
+            if p.shape[0] != stage_size:
+                p = resize_bilinear(p, stage_size, stage_size)
+            return p
+        if cond_images_by_pos is None:
+            return None
+        i, j = pos
+        cond = cond_images_by_pos.get(base)
+        if cond is None:
+            return None
+        ps = cond.shape[0]
+        top_y = ps // 2 - grid.patch_width // 2 + (i - base[0]) * grid.patch_dist
+        top_x = ps // 2 - grid.patch_width // 2 + (j - base[1]) * grid.patch_dist
+        if top_y < 0 or top_x < 0 or top_y + grid.patch_width > ps or top_x + grid.patch_width > ps:
+            return None
+        crop = cond[top_y : top_y + grid.patch_width, top_x : top_x + grid.patch_width, :3]
+        return resize_bilinear(crop, stage_size, stage_size)
+
+    for b, (i, j) in enumerate(wave):
+        above = neighbor_patch((i - 1, j), (i, j)) if i > 0 else None
+        nj = j + orientation
+        next_to = neighbor_patch((i, nj), (i, j)) if 0 <= nj < n else None
+        diag = (
+            neighbor_patch((i - 1, nj), (i, j)) if (i > 0 and 0 <= nj < n) else None
+        )
+
+        if above is not None:
+            imgs[b, :overlap_px, :] = above[-overlap_px:, :]
+            masks[b, :overlap_px, :] = 1.0
+            any_strip = True
+        if next_to is not None:
+            if orientation == -1:
+                imgs[b, :, :overlap_px] = next_to[:, -overlap_px:]
+                masks[b, :, :overlap_px] = 1.0
+            else:
+                imgs[b, :, -overlap_px:] = next_to[:, :overlap_px]
+                masks[b, :, -overlap_px:] = 1.0
+            any_strip = True
+        if diag is not None:
+            if orientation == -1:
+                imgs[b, :overlap_px, :overlap_px] = diag[-overlap_px:, -overlap_px:]
+            else:
+                imgs[b, :overlap_px, -overlap_px:] = diag[-overlap_px:, :overlap_px]
+            any_strip = True
+
+    if not any_strip:
+        return None, None
+    return imgs, masks
+
+
+# ---------------------------------------------------------------------------
+# the orchestrator
+# ---------------------------------------------------------------------------
+
+
+def _pad_to(arr: np.ndarray, b: int) -> np.ndarray:
+    if arr.shape[0] == b:
+        return arr
+    reps = np.repeat(arr[-1:], b - arr.shape[0], axis=0)
+    return np.concatenate([arr, reps], axis=0)
+
+
+def generate_patch_set(
+    cascade: Cascade,
+    params_per_stage: Sequence,
+    key,
+    *,
+    patch_pos: List[Pos],
+    grid: GridSpec,
+    cond_images: Optional[np.ndarray],
+    inpaint_resample_times: int = 1,
+    ignore_stage_1: bool = False,
+    max_wave_batch: int = 16,
+    store_dtype=np.float16,
+    progress: bool = True,
+) -> Dict[Pos, np.ndarray]:
+    """Generate all patches of one magnification level through the full
+    cascade, wave by wave, batched.
+
+    Returns pos -> final-stage patch (stage_size², float16 [0,1]).
+    """
+    num_stages = cascade.config.num_stages
+    orientation = choose_orientation(patch_pos)
+    waves = plan_waves(patch_pos, orientation)
+    cond_by_pos = (
+        {pos: cond_images[k] for k, pos in enumerate(patch_pos)}
+        if cond_images is not None
+        else None
+    )
+
+    # per-stage generated patches (host, compact dtype)
+    stores: List[Dict[Pos, np.ndarray]] = [dict() for _ in range(num_stages + 1)]
+
+    start_stage = 1
+    if ignore_stage_1:
+        # seed stage 2 from the center crop of the cond image
+        # (sample_ultra_res.py:418-421)
+        assert cond_by_pos is not None
+        ps = next(iter(cond_by_pos.values())).shape[0]
+        y0 = ps // 2 - grid.patch_width // 2
+        for pos, cond in cond_by_pos.items():
+            stores[1][pos] = cond[
+                y0 : y0 + grid.patch_width, y0 : y0 + grid.patch_width, :3
+            ].astype(store_dtype)
+        start_stage = 2
+
+    for stage in range(start_stage, num_stages + 1):
+        stage_size = cascade.config.stage(stage).image_size
+        lowres_needed = cascade.config.stage(stage).lowres_cond
+        for wi, wave in enumerate(waves):
+            for chunk_start in range(0, len(wave), max_wave_batch):
+                chunk = wave[chunk_start : chunk_start + max_wave_batch]
+                bsz = bucket_size(len(chunk))
+
+                kwargs = {}
+                if cond_by_pos is not None:
+                    kwargs["cond_images"] = _pad_to(
+                        np.stack([cond_by_pos[p] for p in chunk]).astype(np.float32), bsz
+                    )
+                if lowres_needed:
+                    kwargs["lowres_image"] = _pad_to(
+                        np.stack([stores[stage - 1][p] for p in chunk]).astype(np.float32),
+                        bsz,
+                    )
+                inp, msk = assemble_inpaint_strips(
+                    chunk, stores[stage], cond_by_pos, grid, stage_size, orientation
+                )
+                if inp is not None:
+                    kwargs["inpaint_images"] = _pad_to(inp, bsz)
+                    kwargs["inpaint_masks"] = _pad_to(msk, bsz)
+                    kwargs["inpaint_resample_times"] = inpaint_resample_times
+
+                key, sk = jax.random.split(key)
+                out = cascade.sample_stage(
+                    params_per_stage[stage - 1], stage, sk, batch_size=bsz, **kwargs
+                )
+                out = np.asarray(out)[: len(chunk)].astype(store_dtype)
+                for k, pos in enumerate(chunk):
+                    stores[stage][pos] = out[k]
+            if progress:
+                done = sum(len(w) for w in waves[: wi + 1])
+                print(
+                    f"[gigapixel] stage {stage}: wave {wi + 1}/{len(waves)} "
+                    f"({done}/{len(patch_pos)} patches)",
+                    flush=True,
+                )
+
+    return stores[num_stages]
+
+
+def stitch_patches(
+    zoomed_image: np.ndarray,
+    patches: Dict[Pos, np.ndarray],
+    *,
+    overlap: float,
+    num_patches_width: int,
+    patch_size: int = PATCH_SIZE,
+) -> np.ndarray:
+    """Paste generated patches onto the bilinearly upscaled coarse image
+    (sample_ultra_res.py:430-448). uint8 canvas, chunked upscale."""
+    patch_dist = int(patch_size * (1 - overlap))
+    full = patch_size + (num_patches_width - 1) * patch_dist
+
+    canvas = np.empty((full, full, 3), np.uint8)
+    # chunked bilinear upscale of the coarse image into the canvas
+    chunk_rows = max(1, 4096 * 4096 // max(full, 1))
+    h = zoomed_image.shape[0]
+    for y0 in range(0, full, chunk_rows):
+        y1 = min(y0 + chunk_rows, full)
+        ys = (np.arange(y0, y1) + 0.5) * h / full - 0.5
+        lo = int(np.clip(np.floor(ys.min()), 0, h - 1))
+        hi = int(np.clip(np.ceil(ys.max()) + 1, 1, h))
+        # per-strip bilinear: resample source rows [lo, hi) to the output
+        # strip using global coordinates
+        src = zoomed_image[lo:hi].astype(np.float32)
+        yy = ys - lo
+        y0i = np.clip(np.floor(yy).astype(np.int64), 0, src.shape[0] - 1)
+        y1i = np.minimum(y0i + 1, src.shape[0] - 1)
+        wy = np.clip(yy - y0i, 0, 1).astype(np.float32)[:, None, None]
+        w = zoomed_image.shape[1]
+        xs = (np.arange(full) + 0.5) * w / full - 0.5
+        x0i = np.clip(np.floor(xs).astype(np.int64), 0, w - 1)
+        x1i = np.minimum(x0i + 1, w - 1)
+        wx = np.clip(xs - x0i, 0, 1).astype(np.float32)[None, :, None]
+        top = src[y0i][:, x0i] * (1 - wx) + src[y0i][:, x1i] * wx
+        bot = src[y1i][:, x0i] * (1 - wx) + src[y1i][:, x1i] * wx
+        canvas[y0:y1] = np.clip((top * (1 - wy) + bot * wy) * 255.0, 0, 255).astype(
+            np.uint8
+        )
+
+    for (i, j), patch in patches.items():
+        y, x = i * patch_dist, j * patch_dist
+        canvas[y : y + patch_size, x : x + patch_size] = np.clip(
+            patch.astype(np.float32) * 255.0, 0, 255
+        ).astype(np.uint8)
+    return canvas
+
+
+def generate_high_res_image(
+    cascade: Cascade,
+    params_per_stage: Sequence,
+    key,
+    zoomed_image: np.ndarray,
+    mag_level: int,
+    *,
+    overlap: float = 0.25,
+    mag_sizes: Sequence[int] = MAG_LEVEL_SIZES,
+    center_cond: bool = False,
+    airs: bool = False,
+    inpaint_resample_times: int = 1,
+    ignore_stage_1: bool = False,
+    max_wave_batch: int = 16,
+    progress: bool = True,
+) -> np.ndarray:
+    """One magnification refinement: coarse (H, W, 3) [0,1] -> finer
+    uint8 canvas (the reference's generate_high_res_image,
+    sample_ultra_res.py:415-448). The model patch size is the cascade's
+    final stage size (1024 for the reference configs)."""
+    patch_size = cascade.config.stages[-1].image_size
+    cond_images, patch_pos, grid = get_cond_images(
+        zoomed_image,
+        mag_level,
+        overlap=overlap,
+        mag_sizes=mag_sizes,
+        patch_size=patch_size,
+        center_cond=center_cond,
+        airs=airs,
+    )
+    if progress:
+        print(
+            f"[gigapixel] mag {mag_level}: {len(patch_pos)} patches, "
+            f"grid {grid.num_patches_width}x{grid.num_patches_width}, "
+            f"{len(plan_waves(patch_pos, choose_orientation(patch_pos)))} waves",
+            flush=True,
+        )
+    patches = generate_patch_set(
+        cascade,
+        params_per_stage,
+        key,
+        patch_pos=patch_pos,
+        grid=grid,
+        cond_images=cond_images,
+        inpaint_resample_times=inpaint_resample_times,
+        ignore_stage_1=ignore_stage_1,
+        max_wave_batch=max_wave_batch,
+        progress=progress,
+    )
+    return stitch_patches(
+        zoomed_image,
+        patches,
+        overlap=overlap,
+        num_patches_width=grid.num_patches_width,
+        patch_size=patch_size,
+    )

@@ -1,0 +1,345 @@
+"""Trainer — the ImagenTrainer-equivalent, mesh-native.
+
+Capability parity (reference call sites, SURVEY.md §2.2):
+  * per-unet Adam + EMA + grad clipping + mixed precision
+    (/root/reference/train.py:124-128, train_ultra_res.py:109-115)
+  * `train_step` / `valid_step` / `num_steps_taken` per unet_number
+    (/root/reference/train.py:206-216)
+  * grad-accumulation chunking à la `max_batch_size`
+    (/root/reference/train_kumar.py:148)
+  * `sample(...)` with EMA weights (/root/reference/train.py:230-238)
+  * `save` / `load(noop_if_not_exist=True)` with step counters and
+    optimizer/EMA state (/root/reference/train.py:188,245)
+  * dataset attachment + cycling loaders
+    (/root/reference/train.py:178-179)
+
+TPU-native design: ONE jitted update step per stage; the batch is
+sharded over the mesh "data" axis (XLA inserts the gradient all-reduce
+over ICI — the DDP replacement); parameters are replicated or
+FSDP-sharded over "model". There is no rank-aware code: one Python
+process per host drives a global-semantics jit program.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import time
+from typing import Any, Dict, Iterator, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+
+from ..cascade import Cascade
+from ..parallel.mesh import (
+    batch_sharding,
+    fsdp_shardings,
+    make_mesh,
+    replicated_shardings,
+)
+from ..utils.checkpoint import checkpoint_exists, load_checkpoint, save_checkpoint
+
+Array = jax.Array
+
+
+from flax import struct
+
+
+@struct.dataclass
+class StageState:
+    """All mutable training state for one cascade stage (a pure pytree)."""
+
+    params: Any
+    ema_params: Any
+    opt_state: Any
+    step: Array  # scalar int32
+
+
+def _ema_update(ema, new, decay):
+    return jax.tree.map(lambda e, p: e * decay + p.astype(e.dtype) * (1.0 - decay), ema, new)
+
+
+class Trainer:
+    def __init__(
+        self,
+        cascade: Cascade,
+        *,
+        only_train_unet_number: Optional[int] = None,
+        lr: float = 1e-4,
+        eps: float = 1e-8,
+        betas: tuple = (0.9, 0.99),
+        max_grad_norm: Optional[float] = None,
+        ema_decay: float = 0.9999,
+        grad_accum_chunks: int = 1,
+        mesh=None,
+        fsdp: bool = False,
+        seed: int = 0,
+    ):
+        self.cascade = cascade
+        self.only_train_unet_number = only_train_unet_number
+        self.lr, self.eps, self.betas = lr, eps, betas
+        self.max_grad_norm = max_grad_norm
+        self.ema_decay = ema_decay
+        self.grad_accum_chunks = grad_accum_chunks
+        self.mesh = mesh if mesh is not None else make_mesh(data=1, model=1, devices=jax.devices()[:1])
+        self.fsdp = fsdp
+        self._key = jax.random.PRNGKey(seed)
+        self._states: Dict[int, StageState] = {}
+        self._step_fns: Dict[int, Any] = {}
+        self._valid_fns: Dict[int, Any] = {}
+        self._train_iter: Optional[Iterator] = None
+        self._valid_iter: Optional[Iterator] = None
+
+    # ------------------------------------------------------------------
+    # state management
+    # ------------------------------------------------------------------
+
+    def _next_key(self) -> Array:
+        self._key, k = jax.random.split(self._key)
+        return k
+
+    def _optimizer(self):
+        chain = []
+        if self.max_grad_norm is not None:
+            chain.append(optax.clip_by_global_norm(self.max_grad_norm))
+        chain.append(
+            optax.adam(self.lr, b1=self.betas[0], b2=self.betas[1], eps=self.eps)
+        )
+        return optax.chain(*chain)
+
+    def state(self, unet_number: int) -> StageState:
+        if unet_number not in self._states:
+            self._init_stage(unet_number)
+        return self._states[unet_number]
+
+    def _init_stage(self, unet_number: int):
+        if (
+            self.only_train_unet_number is not None
+            and unet_number != self.only_train_unet_number
+        ):
+            # mirror of the reference's FixedNullUnet guard: training a
+            # stage this process doesn't own is a bug, fail loudly
+            raise ValueError(
+                f"trainer configured for stage {self.only_train_unet_number} "
+                f"only, got stage {unet_number}"
+            )
+        params = self.cascade.init_stage_params(self._next_key(), unet_number)
+        opt_state = self._optimizer().init(params)
+        state = StageState(
+            params=params,
+            # explicit copy: astype(fp32) on fp32 params aliases the same
+            # buffer, which breaks donation (same buffer donated twice)
+            ema_params=jax.tree.map(lambda p: jnp.array(p, jnp.float32, copy=True), params),
+            opt_state=opt_state,
+            step=jnp.zeros((), jnp.int32),
+        )
+        self._states[unet_number] = self._place_state(state)
+
+    def _place_state(self, state: StageState) -> StageState:
+        """Move a stage state onto the mesh with the configured shardings."""
+        shard_tree = (
+            fsdp_shardings
+            if (self.fsdp and self.mesh.shape.get("model", 1) > 1)
+            else replicated_shardings
+        )
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        return StageState(
+            params=jax.device_put(state.params, shard_tree(self.mesh, state.params)),
+            ema_params=jax.device_put(
+                state.ema_params, shard_tree(self.mesh, state.ema_params)
+            ),
+            opt_state=jax.device_put(
+                state.opt_state, shard_tree(self.mesh, state.opt_state)
+            ),
+            step=jax.device_put(state.step, NamedSharding(self.mesh, P())),
+        )
+
+    # ------------------------------------------------------------------
+    # jitted steps
+    # ------------------------------------------------------------------
+
+    def _build_step_fn(self, unet_number: int):
+        opt = self._optimizer()
+        cascade = self.cascade
+        chunks = self.grad_accum_chunks
+        ema_decay = self.ema_decay
+
+        def loss_fn(params, key, batch):
+            return cascade.stage_loss(
+                params,
+                unet_number,
+                key,
+                batch["images"],
+                text_embeds=batch.get("text_embeds"),
+                cond_images=batch.get("cond_images"),
+            )
+
+        def step_fn(state: StageState, key: Array, batch: Dict[str, Array]):
+            if chunks > 1:
+                keys = jax.random.split(key, chunks)
+                sub_batches = jax.tree.map(
+                    lambda x: x.reshape((chunks, x.shape[0] // chunks) + x.shape[1:]),
+                    batch,
+                )
+
+                def accum(carry, inp):
+                    g_acc, l_acc = carry
+                    k, sb = inp
+                    l, g = jax.value_and_grad(loss_fn)(state.params, k, sb)
+                    return (
+                        jax.tree.map(jnp.add, g_acc, g),
+                        l_acc + l,
+                    ), None
+
+                zero_g = jax.tree.map(jnp.zeros_like, state.params)
+                (g_sum, l_sum), _ = jax.lax.scan(accum, (zero_g, 0.0), (keys, sub_batches))
+                grads = jax.tree.map(lambda g: g / chunks, g_sum)
+                loss = l_sum / chunks
+            else:
+                loss, grads = jax.value_and_grad(loss_fn)(state.params, key, batch)
+
+            updates, opt_state = opt.update(grads, state.opt_state, state.params)
+            params = optax.apply_updates(state.params, updates)
+            # EMA with early-step warmup
+            decay = jnp.minimum(
+                ema_decay, (1.0 + state.step.astype(jnp.float32)) / (10.0 + state.step)
+            )
+            ema = _ema_update(state.ema_params, params, decay)
+            return (
+                StageState(params, ema, opt_state, state.step + 1),
+                loss,
+            )
+
+        # batch arrives pre-placed with data-axis sharding (see _shard);
+        # params/opt state carry their shardings — plain jit propagates both
+        return jax.jit(step_fn, donate_argnums=(0,))
+
+    def _build_valid_fn(self, unet_number: int):
+        cascade = self.cascade
+
+        def valid_fn(params, key, batch):
+            return cascade.stage_loss(
+                params,
+                unet_number,
+                key,
+                batch["images"],
+                text_embeds=batch.get("text_embeds"),
+                cond_images=batch.get("cond_images"),
+            )
+
+        return jax.jit(valid_fn)
+
+    # ------------------------------------------------------------------
+    # public API (ImagenTrainer surface)
+    # ------------------------------------------------------------------
+
+    def train_step(self, unet_number: int, batch: Optional[Dict] = None) -> float:
+        if batch is None:
+            assert self._train_iter is not None, "no train dataset attached"
+            batch = next(self._train_iter)
+        batch = self._shard(batch)
+        state = self.state(unet_number)
+        if unet_number not in self._step_fns:
+            self._step_fns[unet_number] = self._build_step_fn(unet_number)
+        new_state, loss = self._step_fns[unet_number](state, self._next_key(), batch)
+        self._states[unet_number] = new_state
+        return float(loss)
+
+    def valid_step(self, unet_number: int, batch: Optional[Dict] = None) -> float:
+        if batch is None:
+            assert self._valid_iter is not None, "no valid dataset attached"
+            batch = next(self._valid_iter)
+        batch = self._shard(batch)
+        state = self.state(unet_number)
+        if unet_number not in self._valid_fns:
+            self._valid_fns[unet_number] = self._build_valid_fn(unet_number)
+        return float(self._valid_fns[unet_number](state.params, self._next_key(), batch))
+
+    def num_steps_taken(self, unet_number: int) -> int:
+        if unet_number not in self._states:
+            return 0
+        return int(self._states[unet_number].step)
+
+    def sample(self, *, use_ema: bool = True, **kwargs):
+        """Cascade sampling with (by default) EMA weights of every stage
+        this trainer holds; mirrors `trainer.sample` using the EMA model."""
+        params = []
+        for n in range(1, self.cascade.config.num_stages + 1):
+            if n in self._states:
+                st = self._states[n]
+                params.append(st.ema_params if use_ema else st.params)
+            else:
+                params.append(None)
+        return self.cascade.sample(params, self._next_key(), **kwargs)
+
+    # ------------------------------------------------------------------
+    # datasets
+    # ------------------------------------------------------------------
+
+    def add_train_dataset(self, dataset, *, batch_size: int, shuffle: bool = True, **kw):
+        from ..data.pipeline import make_loader
+
+        self._train_iter = make_loader(
+            dataset, batch_size=batch_size, shuffle=shuffle, seed=0, **kw
+        )
+
+    def add_valid_dataset(self, dataset, *, batch_size: int, shuffle: bool = False, **kw):
+        from ..data.pipeline import make_loader
+
+        self._valid_iter = make_loader(
+            dataset, batch_size=batch_size, shuffle=shuffle, seed=1, **kw
+        )
+
+    def _shard(self, batch: Dict) -> Dict:
+        sh = batch_sharding(self.mesh)
+        out = {}
+        for k, v in batch.items():
+            if v is None:
+                continue
+            v = jnp.asarray(v)
+            out[k] = jax.device_put(v, sh) if self.mesh.size > 1 else v
+        return out
+
+    # ------------------------------------------------------------------
+    # checkpointing
+    # ------------------------------------------------------------------
+
+    def save(self, path: str) -> None:
+        tree = {
+            str(n): dataclasses.asdict(st) for n, st in self._states.items()
+        }
+        save_checkpoint(path, tree, metadata={"stages": sorted(self._states)})
+
+    def load(self, path: str, *, noop_if_not_exist: bool = False, partial: bool = False) -> bool:
+        if not checkpoint_exists(path):
+            if noop_if_not_exist:
+                return False
+            raise FileNotFoundError(path)
+        from ..utils.checkpoint import load_metadata
+
+        stages = load_metadata(path).get("stages", [])
+        for n in stages:
+            self.state(int(n))  # materialise target structure
+        target = {str(n): dataclasses.asdict(st) for n, st in self._states.items()}
+        restored = load_checkpoint(path, target, partial=partial)
+        for n_str, d in restored.items():
+            self._states[int(n_str)] = self._place_state(StageState(**d))
+        return True
+
+    # ------------------------------------------------------------------
+    # rank-awareness no-ops (single-controller model)
+    # ------------------------------------------------------------------
+
+    @property
+    def is_main(self) -> bool:
+        return jax.process_index() == 0
+
+    def wait_for_everyone(self) -> None:
+        # single-controller JAX: nothing to synchronise on host
+        pass
+
+    def print(self, *args, **kwargs) -> None:
+        if self.is_main:
+            print(*args, **kwargs, flush=True)

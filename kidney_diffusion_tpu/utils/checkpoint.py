@@ -1,0 +1,108 @@
+"""Checkpoint IO (Orbax) with shape-tolerant partial restore.
+
+Covers the reference's checkpoint semantics:
+  * trainer save/load of params + EMA + optimizer state + step counter
+    (/root/reference/train.py:188,245 — `trainer.save`/`trainer.load`)
+  * `noop_if_not_exist` cold-start (/root/reference/train.py:188)
+  * `restore_parts` shape-tolerant partial restore
+    (/root/reference/sample_ultra_res.py:59-63): leaves whose shapes
+    match are restored, everything else keeps its current value
+  * a `version` string stored alongside, checked on load
+    (/root/reference/sample_ultra_res.py:56-57)
+"""
+
+from __future__ import annotations
+
+import json
+import os
+from typing import Any, Optional
+
+import jax
+import numpy as np
+
+from .. import __version__
+
+_META_NAME = "kdt_meta.json"
+
+
+def _checkpointer():
+    import orbax.checkpoint as ocp
+
+    return ocp.StandardCheckpointer()
+
+
+def save_checkpoint(path: str, tree: Any, *, metadata: Optional[dict] = None) -> None:
+    """Save a pytree to `path` (a directory). Overwrites atomically."""
+    path = os.path.abspath(os.path.expanduser(path))
+    ckptr = _checkpointer()
+    if os.path.exists(path):
+        import shutil
+
+        shutil.rmtree(path)
+    ckptr.save(path, tree)
+    ckptr.wait_until_finished()
+    meta = {"version": __version__, **(metadata or {})}
+    with open(os.path.join(path, _META_NAME), "w") as f:
+        json.dump(meta, f)
+
+
+def checkpoint_exists(path: str) -> bool:
+    path = os.path.abspath(os.path.expanduser(path))
+    return os.path.isdir(path)
+
+
+def load_metadata(path: str) -> dict:
+    meta_path = os.path.join(os.path.abspath(os.path.expanduser(path)), _META_NAME)
+    if os.path.exists(meta_path):
+        with open(meta_path) as f:
+            return json.load(f)
+    return {}
+
+
+def load_checkpoint(path: str, target: Any, *, partial: bool = False) -> Any:
+    """Restore a pytree shaped like `target`.
+
+    partial=True is the `restore_parts` equivalent: restore whatever
+    leaves exist with matching shapes/dtypes; keep `target`'s values
+    elsewhere (and report what was skipped).
+    """
+    path = os.path.abspath(os.path.expanduser(path))
+    ckptr = _checkpointer()
+    meta = load_metadata(path)
+    if meta.get("version") and meta["version"] != __version__:
+        print(
+            f"[checkpoint] saved at version {meta['version']}, current {__version__}"
+        )
+    if not partial:
+        return ckptr.restore(path, target)
+
+    # shape-tolerant: restore with raw structure, then merge
+    try:
+        raw = ckptr.restore(path)
+    except Exception:
+        return ckptr.restore(path, target)
+
+    flat_target = _flatten_with_paths(target)
+    flat_raw = _flatten_with_paths(raw)
+    merged = dict(flat_target)
+    skipped = []
+    for k, v in flat_target.items():
+        if k in flat_raw and np.shape(flat_raw[k]) == np.shape(v):
+            merged[k] = jax.numpy.asarray(flat_raw[k], dtype=getattr(v, "dtype", None))
+        else:
+            skipped.append(k)
+    if skipped:
+        print(f"[checkpoint] partial restore skipped {len(skipped)} leaves: "
+              f"{skipped[:5]}{'...' if len(skipped) > 5 else ''}")
+    return _unflatten_like(target, merged)
+
+
+def _flatten_with_paths(tree: Any) -> dict:
+    flat, _ = jax.tree_util.tree_flatten_with_path(tree)
+    return {jax.tree_util.keystr(path): leaf for path, leaf in flat}
+
+
+def _unflatten_like(target: Any, flat: dict) -> Any:
+    paths_leaves, treedef = jax.tree_util.tree_flatten_with_path(target)
+    leaves = [flat[jax.tree_util.keystr(p)] for p, _ in paths_leaves]
+    return jax.tree_util.tree_unflatten(treedef, leaves)

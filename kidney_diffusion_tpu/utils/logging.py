@@ -1,0 +1,90 @@
+"""Metrics logging + profiling.
+
+The reference logs loss/val_loss/step and sample images to wandb
+(/root/reference/train.py:114-118,203,242). wandb is optional here: if
+installed (and not disabled) it is used with the same field names;
+otherwise metrics append to a JSONL file so runs are always inspectable.
+
+Profiling: the reference has none beyond CUDA memory prints (SURVEY §5).
+`profile_trace` wraps jax.profiler for on-demand TPU traces.
+"""
+
+from __future__ import annotations
+
+import contextlib
+import json
+import os
+import time
+import uuid
+from typing import Optional
+
+
+def generate_run_id() -> str:
+    return uuid.uuid4().hex[:8]
+
+
+class MetricsLogger:
+    def __init__(
+        self,
+        project: str,
+        *,
+        run_id: Optional[str] = None,
+        resume: bool = False,
+        log_dir: str = "logs",
+        use_wandb: bool = True,
+    ):
+        self.project = project
+        self.run_id = run_id or generate_run_id()
+        self._wandb = None
+        if use_wandb:
+            try:
+                import wandb
+
+                wandb.init(project=project, resume=resume, id=self.run_id)
+                self._wandb = wandb
+            except Exception:
+                self._wandb = None
+        os.makedirs(log_dir, exist_ok=True)
+        self._path = os.path.join(log_dir, f"{project}-{self.run_id}.jsonl")
+        self._file = open(self._path, "a")
+
+    def log(self, step: int, **metrics):
+        if self._wandb is not None:
+            self._wandb.log({"step": step, **metrics})
+        self._file.write(json.dumps({"step": step, "ts": time.time(), **metrics}) + "\n")
+        self._file.flush()
+
+    def log_image(self, step: int, name: str, image) -> None:
+        if self._wandb is not None:
+            self._wandb.log({name: self._wandb.Image(image), "step": step})
+
+    def close(self):
+        self._file.close()
+
+
+def save_image(image, path: str) -> None:
+    """Save an HWC [0,1] float or uint8 array as PNG/JPG."""
+    import numpy as np
+    from PIL import Image
+
+    arr = np.asarray(image)
+    if arr.dtype != np.uint8:
+        arr = np.clip(arr * 255.0, 0, 255).astype(np.uint8)
+    if arr.ndim == 4:
+        arr = arr[0]
+    Image.fromarray(arr).save(path)
+
+
+@contextlib.contextmanager
+def profile_trace(log_dir: str = "/tmp/jax-trace", enabled: bool = True):
+    """jax.profiler trace context (view with TensorBoard / xprof)."""
+    import jax
+
+    if not enabled:
+        yield
+        return
+    jax.profiler.start_trace(log_dir)
+    try:
+        yield
+    finally:
+        jax.profiler.stop_trace()

@@ -1,0 +1,259 @@
+import numpy as np
+import pytest
+
+from kidney_diffusion_tpu.data import (
+    ArraySlide,
+    MAG_LEVEL_SIZES,
+    PatientMetadata,
+    UltraResPatientDataset,
+    inner_patch_width,
+    make_loader,
+    read_block,
+    read_block_and_zoomed,
+    resize_nearest,
+)
+from kidney_diffusion_tpu.data.airs import AirsDataset
+from kidney_diffusion_tpu.data.patient import (
+    average_creatinine_between,
+    normalize_creatinine,
+    normalize_days_post_transplant,
+    normalize_outcome,
+    split_annotated_ids,
+)
+from kidney_diffusion_tpu.ops.augment import (
+    NUM_FLIPS_ROTATIONS,
+    NUM_TRANSLATIONS,
+    flip_rotate,
+    translation_offset,
+)
+
+
+# ---------------------------------------------------------------------------
+# augmentation
+# ---------------------------------------------------------------------------
+
+
+def test_flip_rotate_group_properties():
+    rng = np.random.default_rng(0)
+    x = rng.uniform(size=(6, 6, 3))
+    variants = [flip_rotate(x, k) for k in range(8)]
+    # all 8 dihedral transforms are distinct
+    for i in range(8):
+        for j in range(i + 1, 8):
+            assert not np.allclose(variants[i], variants[j]), (i, j)
+    # all preserve the multiset of pixel values
+    for v in variants:
+        np.testing.assert_allclose(np.sort(v.ravel()), np.sort(x.ravel()))
+
+
+def test_flip_rotate_matches_torch_semantics():
+    """The reference applies CHW torch transforms
+    (patient_dataset.py:243-259). Verify our HWC numpy version agrees."""
+    import torch
+
+    rng = np.random.default_rng(1)
+    x = rng.uniform(size=(4, 5, 3)).astype(np.float32)
+    t = torch.from_numpy(x).permute(2, 0, 1)  # CHW
+
+    def torch_variant(t, k):
+        if k == 0:
+            return t
+        if k == 1:
+            return t.flip(2)
+        if k == 2:
+            return t.flip(1)
+        if k == 3:
+            return t.flip(1).flip(2)
+        if k == 4:
+            return t.transpose(1, 2)
+        if k == 5:
+            return t.transpose(1, 2).flip(2)
+        if k == 6:
+            return t.transpose(1, 2).flip(1)
+        return t.transpose(1, 2).flip(1).flip(2)
+
+    for k in range(8):
+        expected = torch_variant(t, k).permute(1, 2, 0).numpy()
+        got = flip_rotate(x, k)
+        np.testing.assert_allclose(got, expected, err_msg=f"k={k}")
+
+
+def test_translation_offsets():
+    # reference ordering: (0,0), (+h,0), (+h,+h), (0,+h)
+    # (patient_dataset.py:226-233)
+    offs = [translation_offset(k * NUM_FLIPS_ROTATIONS, 100) for k in range(4)]
+    assert offs == [(0, 0), (50, 0), (50, 50), (0, 50)]
+    # constant within a flip-block
+    assert translation_offset(8 + 3, 100) == (50, 0)
+
+
+# ---------------------------------------------------------------------------
+# read_block geometry
+# ---------------------------------------------------------------------------
+
+
+def _gradient_slide(w=300, h=200):
+    img = np.zeros((h, w, 3), np.uint8)
+    img[..., 0] = (np.arange(w)[None, :] * 255 // w).astype(np.uint8)
+    img[..., 1] = (np.arange(h)[:, None] * 255 // h).astype(np.uint8)
+    return ArraySlide(img)
+
+
+def test_read_block_in_bounds():
+    slide = _gradient_slide()
+    mags = (100, 50, 10)
+    out = read_block(slide, 2, 20, 30, patch_size=10, mag_sizes=mags)
+    assert out.shape == (10, 10, 3)
+    # mag 2 with image_size == patch_size: pixel-exact copy
+    np.testing.assert_allclose(
+        out, slide.image[30:40, 20:30].astype(np.float32) / 255.0
+    )
+
+
+def test_read_block_out_of_bounds_fill():
+    slide = _gradient_slide(100, 100)
+    mags = (100, 50, 10)
+    fill = (242, 243, 242)
+    # read a 50-source-px region half outside the left/top edge
+    out = read_block(slide, 1, -25, -25, patch_size=10, mag_sizes=mags, fill_color=fill)
+    assert out.shape == (10, 10, 3)
+    expected_fill = np.asarray(fill, np.float32) / 255.0
+    # top-left quadrant is fill
+    np.testing.assert_allclose(out[:5, :5], np.broadcast_to(expected_fill, (5, 5, 3)))
+    # bottom-right quadrant is image content (not fill)
+    assert not np.allclose(out[5:, 5:], expected_fill)
+
+
+def test_read_block_fully_outside():
+    slide = _gradient_slide(100, 100)
+    out = read_block(slide, 1, -1000, -1000, patch_size=8, mag_sizes=(100, 50, 10))
+    np.testing.assert_allclose(out, 242.5 / 255.0, atol=0.01)
+
+
+def test_read_block_and_zoomed_concentric():
+    slide = _gradient_slide(400, 400)
+    mags = (200, 100, 50)
+    patch, zoomed = read_block_and_zoomed(slide, 1, 150, 150, patch_size=20, mag_sizes=mags)
+    assert patch.shape == zoomed.shape == (20, 20, 3)
+    # the zoomed image's center pixel ~ the patch's center pixel
+    # (same source location: center of the mag-1 region)
+    np.testing.assert_allclose(zoomed[10, 10], patch[10, 10], atol=0.06)
+
+
+def test_inner_patch_width():
+    assert inner_patch_width(1) == int(6500 * 1024 / 40000)
+    assert inner_patch_width(2) == int(1024 * 1024 / 6500)
+
+
+def test_resize_nearest_identity_and_shape():
+    img = np.arange(48, dtype=np.uint8).reshape(4, 4, 3)
+    assert resize_nearest(img, 4, 4) is img
+    up = resize_nearest(img, 8, 8)
+    assert up.shape == (8, 8, 3)
+    np.testing.assert_array_equal(up[::2, ::2], img)
+
+
+# ---------------------------------------------------------------------------
+# metadata normalisation
+# ---------------------------------------------------------------------------
+
+
+def test_outcome_ladder():
+    assert normalize_outcome("Functioning") == 0.0
+    assert normalize_outcome("DWGL") == 0.8
+    assert normalize_outcome("DWFG") == 0  # excluded outcome -> 0
+
+
+def test_days_and_creatinine():
+    assert normalize_days_post_transplant(90) == 0.0
+    assert normalize_days_post_transplant(455) == 1.0
+    assert normalize_creatinine(30) == 0.0
+
+
+def test_average_creatinine_window():
+    vals = [30, 2080, 1055]
+    dates = [0, 5, 20]
+    # only the first two fall inside [0, 10]
+    avg = average_creatinine_between(vals, dates, 0, 10)
+    assert avg == pytest.approx((0.0 + 1.0) / 2)
+    # none in window -> all-time mean
+    avg2 = average_creatinine_between(vals, dates, 100, 200)
+    assert avg2 == pytest.approx(np.mean([0.0, 1.0, 0.5]))
+    assert average_creatinine_between([], [], 0, 1) is None
+
+
+def test_split_annotated_ids():
+    ids = [f"slide{i} patch{j}" for i in range(8) for j in range(i + 1)]
+    train, test, test_slides = split_annotated_ids(ids, num_test_slides=2)
+    assert len(test_slides) == 2
+    assert set(test_slides) == {"slide7", "slide6"}
+    assert len(train) + len(test) == len(ids)
+
+
+def test_patient_metadata_conds():
+    meta = PatientMetadata(
+        {"s1": dict(outcome=0.4, days_post_transplant=0.1, creatinine=0.3)}
+    )
+    np.testing.assert_allclose(meta.conds("s1"), [[0.4, 0.1, 0.3]])
+    np.testing.assert_allclose(meta.conds(None), [[0.0, 0.5, 0.2]])
+    np.testing.assert_allclose(meta.conds("unknown"), [[0.0, 0.5, 0.2]])
+
+
+# ---------------------------------------------------------------------------
+# datasets over synthetic slides
+# ---------------------------------------------------------------------------
+
+
+def _tissue_slide(size=4096, seed=0):
+    """A synthetic slide with tissue-like (pinkish, hue>0.5) blobs."""
+    rng = np.random.default_rng(seed)
+    img = np.full((size, size, 3), 242, np.uint8)
+    for _ in range(6):
+        y, x = rng.integers(0, size - 1500, 2)
+        img[y : y + 1500, x : x + 1500] = (200, 120, 160)  # pink-ish
+    return ArraySlide(img)
+
+
+def test_ultra_res_dataset_mag0():
+    slides = {"a": _tissue_slide(), "b": _tissue_slide(seed=1)}
+    ds = UltraResPatientDataset(slides, 0, patch_size=64, mag_sizes=(4000, 650, 102))
+    assert len(ds) == NUM_FLIPS_ROTATIONS * 2
+    item = ds[0]
+    assert item.shape == (64, 64, 3)
+    # flip consistency: index 1 is a width-flip of index 0
+    np.testing.assert_allclose(ds[1], ds[0][:, ::-1])
+
+
+def test_ultra_res_dataset_mag2_pairs():
+    slides = {"a": _tissue_slide()}
+    ds = UltraResPatientDataset(slides, 2, patch_size=64, mag_sizes=(4000, 650, 102))
+    assert len(ds) > 0
+    patch, cond = ds[0]
+    assert patch.shape == (64, 64, 3)
+    assert cond.shape == (64, 64, 3)
+
+
+def test_ultra_res_dataset_center_cond():
+    slides = {"a": _tissue_slide()}
+    ds = UltraResPatientDataset(
+        slides, 2, center_cond=True, patch_size=64, mag_sizes=(4000, 650, 102)
+    )
+    patch, cond = ds[0]
+    assert cond.shape == (64, 64, 6)
+
+
+def test_airs_dataset():
+    rng = np.random.default_rng(0)
+    img = rng.integers(0, 255, size=(1000, 1000, 3), dtype=np.uint8)
+    ds = AirsDataset("", magnification_level=0, images=[img])
+    assert len(ds) == NUM_FLIPS_ROTATIONS
+    assert ds[0].shape == (1024, 1024, 3)
+
+
+def test_loader_over_ultra_res():
+    slides = {"a": _tissue_slide()}
+    ds = UltraResPatientDataset(slides, 1, patch_size=64, mag_sizes=(4000, 650, 102))
+    it = make_loader(ds, batch_size=2, keywords=("images", "cond_images"), num_workers=2)
+    b = next(it)
+    assert b["images"].shape == (2, 64, 64, 3)
+    assert b["cond_images"].shape == (2, 64, 64, 3)

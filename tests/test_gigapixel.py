@@ -1,0 +1,268 @@
+import numpy as np
+import jax
+import pytest
+
+from kidney_diffusion_tpu.sample import (
+    GridSpec,
+    assemble_inpaint_strips,
+    choose_orientation,
+    crop_with_fill,
+    full_grid,
+    generate_high_res_image,
+    generate_outpainted_image,
+    get_cond_images,
+    plan_waves,
+    ready_patches,
+    resize_bilinear,
+    stitch_patches,
+)
+from kidney_diffusion_tpu.sample.wavefront import bucket_size, deps
+
+
+# ---------------------------------------------------------------------------
+# wavefront planner
+# ---------------------------------------------------------------------------
+
+
+def test_plan_waves_full_grid_property():
+    """Every patch's deps precede it; union == input (SURVEY §4 test plan)."""
+    for n in (1, 2, 5, 8):
+        for orientation in (-1, 1):
+            pos = full_grid(n)
+            waves = plan_waves(pos, orientation)
+            seen = set()
+            for wave in waves:
+                for p in wave:
+                    for d in deps(p, orientation):
+                        assert d not in set(pos) - seen, (p, d)
+                seen.update(wave)
+            assert seen == set(pos)
+
+
+def test_plan_waves_sparse_with_holes():
+    rng = np.random.default_rng(0)
+    pos = [tuple(p) for p in rng.integers(0, 10, size=(40, 2))]
+    pos = list(dict.fromkeys(pos))
+    waves = plan_waves(pos, 1)
+    seen = set()
+    for wave in waves:
+        for p in wave:
+            for d in deps(p, 1):
+                assert not (d in pos and d not in seen)
+        seen.update(wave)
+    assert seen == set(pos)
+
+
+def test_ready_patches_matches_reference_rule():
+    # top-left corner is ready for orientation -1 on a full grid
+    pos = full_grid(3)
+    ready, waiting = ready_patches(pos, -1)
+    assert (0, 0) in ready
+    assert (2, 2) in waiting
+    # reference rule: ready iff none of the three deps is pending
+    for p in ready:
+        assert all(d not in pos for d in deps(p, -1))
+
+
+def test_choose_orientation_prefers_bigger_first_wave():
+    # L-shaped set: column j=0 only -> orientation -1 has (0,0) ready and
+    # so does +1; build an asymmetric set
+    pos = [(0, 0), (0, 1), (0, 2), (1, 2)]
+    o = choose_orientation(pos)
+    assert o in (-1, 1)
+    first = ready_patches(pos, o)[0]
+    other = ready_patches(pos, -o)[0]
+    assert len(first) >= len(other)
+
+
+def test_bucket_size():
+    assert bucket_size(1) == 1
+    assert bucket_size(3) == 4
+    assert bucket_size(17) == 32
+    assert bucket_size(1000) == 1024
+
+
+# ---------------------------------------------------------------------------
+# cond-image geometry
+# ---------------------------------------------------------------------------
+
+
+def test_crop_with_fill_matches_roll_semantics():
+    """crop_with_fill == torch.roll + fill + CenterCrop (the reference's
+    recentering, sample_ultra_res.py:358-391) for nonzero shifts.
+
+    (At shift exactly 0 the reference's `shifted[:, 0:, :] = FILL` blanks
+    the whole image — a latent bug; crop_with_fill keeps the image.)"""
+    import torch
+
+    rng = np.random.default_rng(0)
+    img = rng.uniform(size=(40, 40, 3)).astype(np.float32)
+    size = 16
+    fill = 0.95
+    for cy, cx in [(5, 5), (21, 19), (38, 2), (0, 39)]:
+        got = crop_with_fill(img, cy - size // 2, cx - size // 2, size, fill)
+
+        t = torch.from_numpy(img).permute(2, 0, 1)
+        shift_y = img.shape[0] // 2 - cy
+        shift_x = img.shape[1] // 2 - cx
+        shifted = torch.roll(t, shifts=(shift_y, shift_x), dims=(1, 2))
+        if shift_y > 0:
+            shifted[:, :shift_y, :] = fill
+        else:
+            shifted[:, shift_y:, :] = fill
+        if shift_x > 0:
+            shifted[:, :, :shift_x] = fill
+        else:
+            shifted[:, :, shift_x:] = fill
+        h, w = shifted.shape[1:]
+        y0 = (h - size) // 2
+        x0 = (w - size) // 2
+        expected = shifted[:, y0 : y0 + size, x0 : x0 + size].permute(1, 2, 0).numpy()
+        np.testing.assert_allclose(got, expected, atol=1e-6, err_msg=f"{cy},{cx}")
+
+
+def test_grid_spec_counts():
+    grid = GridSpec.build(1024, 1, 0.25, mag_sizes=(40000, 6500, 1024), patch_size=1024)
+    assert grid.patch_width == int(6500 * 1024 / 40000)  # 166
+    assert grid.patch_dist == int(grid.patch_width * 0.75)
+    import math
+
+    assert grid.num_patches_width == 1 + math.ceil((1024 - 166) / 124)
+
+
+def test_get_cond_images_shapes_and_positions():
+    rng = np.random.default_rng(1)
+    zoomed = rng.uniform(size=(128, 128, 3)).astype(np.float32)
+    conds, pos, grid = get_cond_images(
+        zoomed, 1, overlap=0.25, mag_sizes=(512, 256, 64), patch_size=128
+    )
+    assert conds.shape[0] == len(pos) == grid.num_patches_width**2
+    assert conds.shape[1:] == (128, 128, 3)
+    # center of each cond image equals the corresponding region center
+    for k, (i, j) in enumerate(pos):
+        cy = i * grid.patch_dist + grid.patch_width // 2
+        cx = j * grid.patch_dist + grid.patch_width // 2
+        if 0 <= cy < 128 and 0 <= cx < 128:
+            np.testing.assert_allclose(conds[k, 64, 64], zoomed[cy, cx], atol=1e-6)
+
+
+def test_get_cond_images_center_cond_channels():
+    zoomed = np.random.default_rng(2).uniform(size=(128, 128, 3)).astype(np.float32)
+    conds, pos, grid = get_cond_images(
+        zoomed, 1, overlap=0.25, mag_sizes=(512, 256, 64), patch_size=128,
+        center_cond=True,
+    )
+    assert conds.shape[-1] == 6
+
+
+def test_tissue_filter_mag2():
+    # background image -> no mag-2 patches
+    bg = np.full((128, 128, 3), 0.95, np.float32)
+    conds, pos, _ = get_cond_images(
+        bg, 2, overlap=0.25, mag_sizes=(512, 256, 64), patch_size=128
+    )
+    assert len(pos) == 0
+    # image with a tissue blob -> some but not all patches
+    img = bg.copy()
+    img[40:80, 40:80] = [0.9, 0.6, 0.7]
+    conds, pos, grid = get_cond_images(
+        img, 2, overlap=0.25, mag_sizes=(512, 256, 64), patch_size=128
+    )
+    assert 0 < len(pos) <= grid.num_patches_width**2
+
+
+# ---------------------------------------------------------------------------
+# inpaint strips
+# ---------------------------------------------------------------------------
+
+
+def test_assemble_inpaint_strips_from_generated():
+    grid = GridSpec(patch_width=16, patch_dist=12, num_patches_width=3, overlap=0.25)
+    gen = {(0, 0): np.full((8, 8, 3), 0.25, np.float32)}
+    imgs, masks = assemble_inpaint_strips([(1, 0)], gen, None, grid, 8, -1)
+    ov = int(0.25 * 8)
+    assert imgs is not None
+    # top strip comes from the bottom of the above patch
+    np.testing.assert_allclose(imgs[0, :ov, :], 0.25)
+    np.testing.assert_allclose(masks[0, :ov, :], 1.0)
+    np.testing.assert_allclose(masks[0, ov:, :], 0.0)
+
+
+def test_assemble_inpaint_strips_first_patch_empty():
+    grid = GridSpec(patch_width=16, patch_dist=12, num_patches_width=3, overlap=0.25)
+    imgs, masks = assemble_inpaint_strips([(0, 0)], {}, None, grid, 8, -1)
+    assert imgs is None and masks is None
+
+
+def test_assemble_inpaint_strips_cond_fallback():
+    """A neighbour missing from the patch set (tissue-filtered) falls back
+    to the coarse image crop."""
+    grid = GridSpec(patch_width=8, patch_dist=6, num_patches_width=4, overlap=0.25)
+    cond = {(1, 1): np.full((32, 32, 3), 0.5, np.float32)}
+    imgs, masks = assemble_inpaint_strips([(1, 1)], {}, cond, grid, 8, -1)
+    assert imgs is not None
+    ov = 2
+    np.testing.assert_allclose(imgs[0, :ov, :], 0.5, atol=1e-5)  # above strip
+    np.testing.assert_allclose(masks[0, :ov, :], 1.0)
+
+
+# ---------------------------------------------------------------------------
+# stitching + end-to-end tiny gigapixel
+# ---------------------------------------------------------------------------
+
+
+def test_stitch_patches_layout():
+    zoomed = np.zeros((64, 64, 3), np.float32)
+    patches = {
+        (0, 0): np.full((16, 16, 3), 1.0, np.float16),
+        (1, 1): np.full((16, 16, 3), 0.5, np.float16),
+    }
+    out = stitch_patches(zoomed, patches, overlap=0.25, num_patches_width=3, patch_size=16)
+    dist = 12
+    assert out.shape == (16 + 2 * dist, 16 + 2 * dist, 3)
+    assert out[0, 0, 0] == 255
+    assert out[dist + 8, dist + 8, 0] in (127, 128)
+    assert out[-1, -1, 0] == 0  # canvas from zero coarse image
+
+
+def test_resize_bilinear_constant():
+    img = np.full((7, 5, 3), 0.3, np.float32)
+    out = resize_bilinear(img, 13, 11)
+    np.testing.assert_allclose(out, 0.3, atol=1e-6)
+
+
+@pytest.mark.slow
+def test_generate_high_res_image_end_to_end():
+    """Tiny cascade, tiny grid: the full orchestrator produces a canvas."""
+    from kidney_diffusion_tpu.cascade import Cascade
+    from kidney_diffusion_tpu.models.configs import tiny_test_cascade
+
+    cc = tiny_test_cascade(cond_images_channels=3, image_sizes=(16, 32), timesteps=4)
+    cas = Cascade(cc)
+    params = [cas.init_stage_params(jax.random.PRNGKey(i), i + 1) for i in range(2)]
+    zoomed = np.random.default_rng(0).uniform(size=(64, 64, 3)).astype(np.float32)
+    out = generate_high_res_image(
+        cas, params, jax.random.PRNGKey(0), zoomed, 1,
+        overlap=0.25, mag_sizes=(256, 128, 32), progress=False,
+    )
+    # grid: pw=16 at patch_size(model)=32... canvas uses model patch size
+    assert out.dtype == np.uint8
+    assert out.shape[0] == out.shape[1]
+    assert out.shape[0] > 32
+
+
+@pytest.mark.slow
+def test_generate_outpainted_image_end_to_end():
+    from kidney_diffusion_tpu.cascade import Cascade
+    from kidney_diffusion_tpu.models.configs import tiny_test_cascade
+
+    cc = tiny_test_cascade(image_sizes=(16, 32), timesteps=4)
+    cas = Cascade(cc)
+    params = [cas.init_stage_params(jax.random.PRNGKey(i), i + 1) for i in range(2)]
+    out = generate_outpainted_image(
+        cas, params, jax.random.PRNGKey(0),
+        num_patches_width=2, overlap=0.25, patch_size=32, progress=False,
+    )
+    dist = 24
+    assert out.shape == (32 + dist, 32 + dist, 3)
+    assert out.dtype == np.uint8

@@ -1,0 +1,152 @@
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from kidney_diffusion_tpu.cascade import Cascade
+from kidney_diffusion_tpu.models.configs import tiny_test_cascade
+from kidney_diffusion_tpu.parallel.mesh import make_mesh
+from kidney_diffusion_tpu.train import Trainer
+
+
+class SyntheticDataset:
+    """Tuple-protocol dataset like the reference's PatientDataset."""
+
+    def __init__(self, n=32, size=32, with_conds=False):
+        rng = np.random.default_rng(0)
+        self.images = rng.uniform(size=(n, size, size, 3)).astype(np.float32)
+        self.with_conds = with_conds
+        if with_conds:
+            self.text = rng.normal(size=(n, 1, 3)).astype(np.float32)
+            self.cond = rng.uniform(size=(n, size, size, 2)).astype(np.float32)
+
+    def __len__(self):
+        return len(self.images)
+
+    def __getitem__(self, i):
+        if self.with_conds:
+            return self.images[i], self.text[i], self.cond[i]
+        return self.images[i]
+
+
+@pytest.fixture(scope="module")
+def cascade():
+    return Cascade(tiny_test_cascade())
+
+
+def _batch(b=4, size=32, seed=0):
+    rng = np.random.default_rng(seed)
+    return {"images": rng.uniform(size=(b, size, size, 3)).astype(np.float32)}
+
+
+def test_train_step_decreases_loss(cascade):
+    tr = Trainer(cascade, lr=2e-3, max_grad_norm=1.0)
+    batch = _batch()
+    losses = [tr.train_step(1, batch) for _ in range(15)]
+    assert np.mean(losses[-5:]) < np.mean(losses[:5])
+    assert tr.num_steps_taken(1) == 15
+    assert tr.num_steps_taken(2) == 0
+
+
+def test_valid_step(cascade):
+    tr = Trainer(cascade)
+    loss = tr.valid_step(1, _batch())
+    assert np.isfinite(loss)
+
+
+def test_only_train_unet_guard(cascade):
+    tr = Trainer(cascade, only_train_unet_number=2)
+    with pytest.raises(ValueError):
+        tr.train_step(1, _batch())
+
+
+def test_grad_accum_matches_full_batch_shape(cascade):
+    tr = Trainer(cascade, grad_accum_chunks=2)
+    loss = tr.train_step(1, _batch(b=4))
+    assert np.isfinite(loss)
+    assert tr.num_steps_taken(1) == 1
+
+
+def test_save_load_roundtrip(cascade, tmp_path):
+    path = str(tmp_path / "ckpt")
+    tr = Trainer(cascade, lr=1e-3)
+    for _ in range(3):
+        tr.train_step(1, _batch())
+    tr.save(path)
+
+    tr2 = Trainer(cascade, lr=1e-3)
+    assert tr2.load(path)
+    assert tr2.num_steps_taken(1) == 3
+    p1 = tr.state(1).params
+    p2 = tr2.state(1).params
+    for a, b in zip(jax.tree.leaves(p1), jax.tree.leaves(p2)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-6)
+
+    # noop_if_not_exist cold start
+    tr3 = Trainer(cascade)
+    assert not tr3.load(str(tmp_path / "missing"), noop_if_not_exist=True)
+    with pytest.raises(FileNotFoundError):
+        tr3.load(str(tmp_path / "missing"))
+
+
+def test_partial_restore(cascade, tmp_path):
+    """restore_parts equivalent: shape-mismatched leaves keep init values."""
+    import dataclasses
+
+    path = str(tmp_path / "ckpt")
+    tr = Trainer(cascade)
+    tr.train_step(1, _batch())
+    tr.save(path)
+
+    # a cascade with a different stage-1 width -> most shapes mismatch
+    cc2 = tiny_test_cascade()
+    st = cc2.stages[0]
+    st = dataclasses.replace(st, unet=dataclasses.replace(st.unet, dim=24))
+    cc2 = dataclasses.replace(cc2, stages=(st, cc2.stages[1]))
+    tr2 = Trainer(Cascade(cc2))
+    tr2.load(path, partial=True)  # must not raise
+    assert tr2.num_steps_taken(1) == 1  # scalar step restores fine
+
+
+def test_ema_sample(cascade):
+    tr = Trainer(cascade)
+    tr.train_step(1, _batch())
+    tr.train_step(2, _batch())
+    out = tr.sample(batch_size=1, stop_at_unet_number=1)
+    assert out.shape == (1, 16, 16, 3)
+
+
+def test_dataset_attachment(cascade):
+    tr = Trainer(cascade)
+    ds = SyntheticDataset()
+    tr.add_train_dataset(ds, batch_size=4)
+    loss = tr.train_step(1)
+    assert np.isfinite(loss)
+
+
+def test_data_parallel_mesh(cascade):
+    mesh = make_mesh(data=8, model=1)
+    tr = Trainer(cascade, mesh=mesh, lr=2e-3)
+    batch = _batch(b=8)
+    losses = [tr.train_step(1, batch) for _ in range(10)]
+    assert np.mean(losses[-3:]) < np.mean(losses[:3])
+
+
+def test_fsdp_mesh(cascade):
+    mesh = make_mesh(data=2, model=4)
+    tr = Trainer(cascade, mesh=mesh, fsdp=True)
+    loss = tr.train_step(1, _batch(b=4))
+    assert np.isfinite(loss)
+
+
+def test_loader_tuple_protocol():
+    from kidney_diffusion_tpu.data.pipeline import make_loader
+
+    ds = SyntheticDataset(with_conds=True)
+    it = make_loader(
+        ds, batch_size=4, keywords=("images", "text_embeds", "cond_images"), num_workers=2
+    )
+    b = next(it)
+    assert set(b) == {"images", "text_embeds", "cond_images"}
+    assert b["images"].shape == (4, 32, 32, 3)
+    assert b["text_embeds"].shape == (4, 1, 3)
