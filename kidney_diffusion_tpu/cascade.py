@@ -173,15 +173,21 @@ class Cascade:
                 k_drop, cfg.cond_drop_prob, (b,)
             ).astype(jnp.float32)
 
-        times = gd.sample_random_times(k_time, b)
         noise = jax.random.normal(k_noise, x_start.shape, jnp.float32)
 
         def denoise_fn(x_t, t):
             return model.apply(params, x_t, t, **model_kwargs)
 
-        losses = diffusion_loss(
-            gd, denoise_fn, x_start, times, noise, objective=st.pred_objective
-        )
+        if st.sampler == "edm":
+            from .core.elucidated import edm_loss
+
+            sigmas = st.edm.noise_distribution(k_time, b)
+            losses = edm_loss(st.edm, denoise_fn, x_start, sigmas, noise)
+        else:
+            times = gd.sample_random_times(k_time, b)
+            losses = diffusion_loss(
+                gd, denoise_fn, x_start, times, noise, objective=st.pred_objective
+            )
         return jnp.mean(losses)
 
     # ---- sampling -----------------------------------------------------------
@@ -319,7 +325,19 @@ class Cascade:
 
         inpaint_norm = normalize_img(inpaint_images) if inpaint_images is not None else None
 
-        if use_ddim and ddim_steps > 0 and inpaint_norm is None:
+        if st.sampler == "edm":
+            from .core.elucidated import edm_sample_loop
+
+            out = edm_sample_loop(
+                st.edm,
+                denoise_fn,
+                (batch_size, size, size, cfg.channels),
+                key,
+                inpaint_images=inpaint_norm,
+                inpaint_masks=inpaint_masks,
+                inpaint_resample_times=inpaint_resample_times,
+            )
+        elif use_ddim and ddim_steps > 0 and inpaint_norm is None:
             from .core.diffusion import ddim_sample_loop
 
             out = ddim_sample_loop(

@@ -14,8 +14,9 @@ and conditioning mode.
 from __future__ import annotations
 
 import dataclasses
-from typing import Optional, Tuple
+from typing import Optional, Sequence, Tuple
 
+from ..core.elucidated import EDMConfig
 from .unet import UNetConfig
 
 
@@ -27,6 +28,8 @@ class StageConfig:
     pred_objective: str = "noise"  # "noise" | "v" | "x_start"
     random_crop_size: Optional[int] = None
     noise_schedule: str = "cosine"
+    sampler: str = "ddpm"  # "ddpm" | "edm" (ElucidatedImagen)
+    edm: Optional["EDMConfig"] = None  # required when sampler == "edm"
 
     @property
     def lowres_cond(self) -> bool:
@@ -206,6 +209,34 @@ def kumar() -> CascadeConfig:
         ),
         text_embed_dim=2,
         condition_on_text=True,
+    )
+
+
+def elucidated(
+    config: CascadeConfig,
+    *,
+    num_sample_steps: Sequence[int] = (32, 128, 128),
+    sigma_max: Sequence[float] = (80.0, 320.0, 1280.0),
+    sigma_min: float = 0.002,
+) -> CascadeConfig:
+    """Switch a cascade to the EDM/Karras sampler — the reference's
+    commented-out ElucidatedImagen configuration
+    (/root/reference/train.py:97-110: num_sample_steps=(32,128,128),
+    sigma_min=0.002, sigma_max=(80,320,1280), cond_drop_prob=0.1)."""
+    stages = tuple(
+        dataclasses.replace(
+            st,
+            sampler="edm",
+            edm=EDMConfig(
+                num_sample_steps=num_sample_steps[i],
+                sigma_min=sigma_min,
+                sigma_max=sigma_max[i],
+            ),
+        )
+        for i, st in enumerate(config.stages)
+    )
+    return dataclasses.replace(
+        config, name=config.name + "_elucidated", stages=stages
     )
 
 
