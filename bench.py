@@ -1,18 +1,25 @@
 """Benchmark: 1024² patches/sec/chip through the 3-stage cascade.
 
-Measures the flagship workload (BASELINE.json): per-denoise-step latency
-of each stage of the ultra-res cascade (64 -> 256 -> 1024, the
-reference's production configuration, /root/reference/train_ultra_res.py)
-with randomly initialised weights on the attached TPU chip, then derives
-end-to-end cascade throughput at the reference's step counts
-(1024/256/256, train.py:91).
+Measures per-denoise-step latency of each stage of the ultra-res cascade
+(64 -> 256 -> 1024, the reference's production configuration,
+/root/reference/train_ultra_res.py) on the attached TPU chip, then
+derives end-to-end cascade throughput at the reference's step counts
+(1024/256/256, /root/reference/train.py:91).
 
-The reference publishes no numbers (BASELINE.md); vs_baseline is
-reported against this framework's round-1 value recorded in
-BENCH_BASELINE.json (created on first run), so later rounds show
-relative improvement. Prints ONE JSON line.
+Implementation notes:
+  * parameters are zero tensors built from eval_shape — dense-compute
+    timing is value-independent and this avoids initialising ~1.4B
+    params through the device tunnel
+  * synchronisation fetches a scalar reduction: on the axon backend
+    `block_until_ready` returns before remote execution finishes
+  * the reference publishes no numbers (BASELINE.md); vs_baseline is
+    against this framework's first recorded value (BENCH_BASELINE.json)
+    so later rounds show relative improvement
+
+Prints ONE JSON line.
 """
 
+import dataclasses
 import json
 import os
 import time
@@ -20,20 +27,28 @@ import time
 import jax
 import jax.numpy as jnp
 
-# reference step counts per stage (train.py:91)
-REFERENCE_TIMESTEPS = (1024, 256, 256)
-BENCH_TIMESTEPS = 8  # steps actually run per stage (per-step time is flat)
-BATCH = 1  # the reference's gigapixel flow samples 1 patch per device pass
+REFERENCE_TIMESTEPS = (1024, 256, 256)  # train.py:91
+BENCH_TIMESTEPS = 8
+BATCH = 1  # reference gigapixel flow: one patch per device pass
+
+
+def zeros_params(cascade, stage):
+    shapes = jax.eval_shape(
+        lambda: cascade.init_stage_params(jax.random.PRNGKey(stage), stage)
+    )
+    return jax.tree.map(lambda s: jnp.zeros(s.shape, s.dtype), shapes)
+
+
+def sync(x) -> float:
+    """Force remote execution to finish; returns a scalar."""
+    return float(jnp.mean(x))
 
 
 def measure():
-    import dataclasses
-
     from kidney_diffusion_tpu.cascade import Cascade
     from kidney_diffusion_tpu.models.configs import ultra_res
 
     cfg = ultra_res(0, "v_param")
-    # shrink the sampling discretisation; per-step cost is unchanged
     cfg = dataclasses.replace(
         cfg,
         stages=tuple(
@@ -42,31 +57,26 @@ def measure():
     )
     cascade = Cascade(cfg)
 
-    key = jax.random.PRNGKey(0)
     per_step = []
     lowres = None
     for stage in (1, 2, 3):
-        params = cascade.init_stage_params(jax.random.PRNGKey(stage), stage)
-        kwargs = {}
-        if stage > 1:
-            kwargs["lowres_image"] = lowres
+        params = zeros_params(cascade, stage)
+        kwargs = {} if stage == 1 else {"lowres_image": lowres}
 
         def run(k):
-            return cascade.sample_stage(
-                params, stage, k, batch_size=BATCH, **kwargs
-            )
+            return cascade.sample_stage(params, stage, k, batch_size=BATCH, **kwargs)
 
-        out = jax.block_until_ready(run(key))  # compile + warmup
+        out = run(jax.random.PRNGKey(0))
+        sync(out)  # compile + warmup
         t0 = time.perf_counter()
-        out = jax.block_until_ready(run(jax.random.PRNGKey(1)))
+        out = run(jax.random.PRNGKey(1))
+        sync(out)
         dt = time.perf_counter() - t0
         per_step.append(dt / BENCH_TIMESTEPS)
         lowres = out
         del params
 
-    cascade_seconds = sum(
-        t * n for t, n in zip(per_step, REFERENCE_TIMESTEPS)
-    )
+    cascade_seconds = sum(t * n for t, n in zip(per_step, REFERENCE_TIMESTEPS))
     return per_step, cascade_seconds
 
 
@@ -85,7 +95,7 @@ def main():
                 {
                     "metric": "1024px_cascade_patches_per_sec_per_chip",
                     "value": patches_per_sec,
-                    "per_denoise_step_seconds": per_step,
+                    "per_denoise_step_ms": [t * 1e3 for t in per_step],
                 },
                 f,
             )

@@ -274,6 +274,13 @@ class Cascade:
         gd = self.diffusions[unet_number - 1]
         size = st.image_size
 
+        # inference-time weight cast: stream bf16 weights from HBM once per
+        # step instead of fp32 + per-op casts (the denoise loop at batch 1
+        # is weight-bandwidth-bound; this halves the floor)
+        compute_dtype = st.unet.compute_dtype
+        if compute_dtype != jnp.float32:
+            params = jax.tree.map(lambda p: p.astype(compute_dtype), params)
+
         key, k_lr = jax.random.split(key)
 
         model_kwargs: Dict[str, Any] = {}

@@ -35,11 +35,27 @@ DenoiseFn = Callable[[Array, Array], Array]  # (x_t, times[batch]) -> prediction
 # --------------------------------------------------------------------------
 
 
-def dynamic_threshold(x0: Array, percentile: float = 0.95) -> Array:
+def dynamic_threshold(
+    x0: Array, percentile: float = 0.95, max_quantile_elems: int = 65536
+) -> Array:
     """Imagen dynamic thresholding: clamp to the per-sample |x0| percentile,
-    then rescale into [-1, 1]."""
+    then rescale into [-1, 1].
+
+    TPU note: exact quantile is a full sort — O(n log n) on 3.1M pixels
+    per step for the 1024² stage. For large images the percentile is
+    estimated from a strided spatial subsample (>= 64K pixels), which is
+    statistically indistinguishable for a 95th-percentile estimate and
+    keeps the denoise step MXU-bound."""
     b = x0.shape[0]
-    flat = jnp.abs(x0.reshape(b, -1))
+    sample = x0
+    if x0.ndim == 4:
+        n = x0.shape[1] * x0.shape[2] * x0.shape[3]
+        stride = 1
+        while n // (stride * stride) > max_quantile_elems:
+            stride *= 2
+        if stride > 1:
+            sample = x0[:, ::stride, ::stride, :]
+    flat = jnp.abs(sample.reshape(b, -1))
     s = jnp.quantile(flat, percentile, axis=-1)
     s = jnp.clip(s, min=1.0)
     s = _right_pad_dims_to(x0, s)

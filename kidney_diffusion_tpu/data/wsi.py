@@ -107,7 +107,21 @@ def read_block(
     Semantics match /root/reference/ultra_res_patient_dataset.py:154-200:
     the requested region is mag_sizes[mag_level]² source pixels at (x, y);
     parts outside the slide are fill_color; the result is patch_size².
+
+    In-RAM slides take the C++ fast path (multithreaded bilinear
+    extraction, data/native.py) when native/libkdt_native.so is built.
     """
+    if isinstance(slide, ArraySlide):
+        from . import native
+
+        if native.available():
+            image_size = mag_sizes[mag_level]
+            patch = native.extract_patch(
+                slide.image, int(x), int(y), int(image_size), int(patch_size),
+                fill=fill_color,
+            )
+            return patch.astype(np.float32) / 255.0
+
     width, height = slide.size
     image_size = mag_sizes[mag_level]
     scale = patch_size / image_size

@@ -107,11 +107,13 @@ class ResnetBlock(nn.Module):
 
 
 def _attention(q: Array, k: Array, v: Array, dtype) -> Array:
-    """Scaled dot-product attention over (B, N, H, D) tensors."""
-    scale = q.shape[-1] ** -0.5
-    logits = jnp.einsum("bnhd,bmhd->bhnm", q * scale, k, preferred_element_type=jnp.float32)
-    weights = jax.nn.softmax(logits, axis=-1).astype(dtype)
-    return jnp.einsum("bhnm,bmhd->bnhd", weights, v)
+    """Scaled dot-product attention over (B, N, H, D) tensors.
+
+    Dispatches to the Pallas fused kernel on TPU (keeps the score matrix
+    in VMEM); XLA einsum elsewhere (kernels/attention.py)."""
+    from ..kernels.attention import attention
+
+    return attention(q, k, v).astype(dtype)
 
 
 class SelfAttention(nn.Module):
