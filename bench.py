@@ -84,6 +84,17 @@ def main():
     per_step, cascade_seconds = measure()
     patches_per_sec = BATCH / cascade_seconds
 
+    details_path = os.path.join(os.path.dirname(__file__), "BENCH_DETAILS.json")
+    with open(details_path, "w") as f:
+        json.dump(
+            {
+                "per_denoise_step_ms": [t * 1e3 for t in per_step],
+                "reference_timesteps": REFERENCE_TIMESTEPS,
+                "cascade_seconds_per_patch": cascade_seconds,
+            },
+            f,
+        )
+
     baseline_path = os.path.join(os.path.dirname(__file__), "BENCH_BASELINE.json")
     if os.path.exists(baseline_path):
         with open(baseline_path) as f:

@@ -383,11 +383,16 @@ class Cascade:
         inpaint_masks: Optional[Array] = None,
         inpaint_resample_times: int = 1,
         cond_scale: float = 1.0,
+        ddim_steps: int = 0,
     ) -> Array:
         """Cascade sampling across a window of stages, mirroring
         `imagen.sample(start_at_unet_number=..., stop_at_unet_number=...)`
         (/root/reference/sample_ultra_res.py:183-195). Each stage's output
-        feeds the next as the low-res conditioning image."""
+        feeds the next as the low-res conditioning image.
+
+        `ddim_steps > 0` switches non-inpainting stages to the DDIM fast
+        path with that many steps (serving accelerator; not in the
+        reference's surface)."""
         stop = stop_at_unet_number or self.config.num_stages
         img = start_image
         for n in range(start_at_unet_number, stop + 1):
@@ -413,5 +418,7 @@ class Cascade:
                 inpaint_masks=stage_inpaint_masks,
                 inpaint_resample_times=inpaint_resample_times,
                 cond_scale=cond_scale,
+                use_ddim=ddim_steps > 0,
+                ddim_steps=ddim_steps,
             )
         return img

@@ -51,6 +51,8 @@ def parse_args():
                    help="zero all but glomeruli+tubuli channels")
     p.add_argument("--variants_per_mask", type=int, default=3)
     p.add_argument("--stop_at_unet_number", type=int, default=None)
+    p.add_argument("--ddim_steps", type=int, default=0,
+                   help="use the DDIM fast path with this many steps")
     return p.parse_args()
 
 
@@ -123,6 +125,7 @@ def main():
             batch_size=b,
             stop_at_unet_number=stop,
             cond_scale=args.cond_scale,
+            ddim_steps=args.ddim_steps,
             **kwargs,
         )
         images = np.asarray(images)

@@ -45,14 +45,21 @@ def parse_args():
     p.add_argument("--max_wave_batch", type=int, default=16)
     p.add_argument("--seed", type=int, default=None)
     p.add_argument("--stop_at_mag", type=int, default=2)
+    p.add_argument("--num_devices", type=int, default=None,
+                   help="shard wave batches over this many devices "
+                        "(default: all local devices)")
     return p.parse_args()
 
 
 def load_level_params(ckpt: str, mag: int, version: str):
+    """`ckpt` may be one checkpoint holding all stages of the level, or a
+    comma-separated list of per-stage checkpoints (each trained in its own
+    run) — shape-tolerant loads merge them."""
     config = ultra_res(mag, version)
     cascade = Cascade(config)
     trainer = Trainer(cascade)
-    trainer.load(ckpt, partial=True)
+    for path in ckpt.split(","):
+        trainer.load(path.strip(), partial=True)
     params = [
         trainer.state(n).ema_params
         for n in range(1, config.num_stages + 1)
@@ -70,6 +77,16 @@ def main():
 
     seed = args.seed if args.seed is not None else np.random.randint(2**31)
     key = jax.random.PRNGKey(seed)
+
+    # SPMD wave sharding — replaces the reference's one-process-per-GPU
+    # worker pool (sample_ultra_res.py:213-249, --num_gpus)
+    n_dev = args.num_devices or len(jax.devices())
+    mesh = None
+    if n_dev > 1:
+        from ..parallel.mesh import make_mesh
+
+        mesh = make_mesh(data=n_dev, model=1, devices=jax.devices()[:n_dev])
+        print(f"sharding wave batches over {n_dev} devices", flush=True)
 
     # mag 0: one full-cascade patch, unconditional
     cascade0, params0 = load_level_params(args.ckpt_mag0, 0, args.version)
@@ -91,6 +108,7 @@ def main():
         inpaint_resample_times=args.inpaint_resample,
         ignore_stage_1=args.ignore_unet_1,
         max_wave_batch=args.max_wave_batch,
+        mesh=mesh,
     )
     save_image(mag1, f"{args.sample_dir}/MAG1-{sample_id}{postfix}.jpg")
     print(f"MAG1 saved ({mag1.shape})", flush=True)
@@ -108,6 +126,7 @@ def main():
         inpaint_resample_times=args.inpaint_resample,
         ignore_stage_1=args.ignore_unet_1,
         max_wave_batch=args.max_wave_batch,
+        mesh=mesh,
     )
     save_image(mag2, f"{args.sample_dir}/MAG2-{sample_id}{postfix}.jpg")
     print(f"MAG2 saved ({mag2.shape})", flush=True)

@@ -19,3 +19,7 @@ __all__ = [
     "replicated_shardings",
     "shard_batch",
 ]
+
+from .mesh import initialize_distributed  # noqa: E402
+
+__all__.append("initialize_distributed")

@@ -25,6 +25,31 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 Array = jax.Array
 
 
+def initialize_distributed(
+    coordinator_address: Optional[str] = None,
+    num_processes: Optional[int] = None,
+    process_id: Optional[int] = None,
+) -> None:
+    """Multi-host initialisation (DCN across hosts, ICI within a slice).
+
+    On TPU pods with standard env configuration a bare
+    `jax.distributed.initialize()` suffices; arguments are for manual
+    setups. Safe to call when already initialised. This replaces the
+    reference's `accelerate launch` process topology
+    (/root/reference/train.py:124-128): one Python process per host,
+    global-semantics jit across all of them.
+    """
+    try:
+        jax.distributed.initialize(
+            coordinator_address=coordinator_address,
+            num_processes=num_processes,
+            process_id=process_id,
+        )
+    except RuntimeError as e:
+        if "already initialized" not in str(e):
+            raise
+
+
 def make_mesh(
     data: int = -1,
     model: int = 1,

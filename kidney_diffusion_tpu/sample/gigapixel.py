@@ -286,9 +286,18 @@ def generate_patch_set(
     max_wave_batch: int = 16,
     store_dtype=np.float16,
     progress: bool = True,
+    mesh=None,
+    debug_dir: Optional[str] = None,
 ) -> Dict[Pos, np.ndarray]:
     """Generate all patches of one magnification level through the full
     cascade, wave by wave, batched.
+
+    `mesh`: shard each wave batch over the mesh "data" axis (SPMD
+    multi-chip inference — the TPU replacement for the reference's
+    one-process-per-GPU pool, sample_ultra_res.py:213-249).
+    `debug_dir`: dump every intermediate artifact (cond image, inpaint
+    strip/mask, per-stage patches) as PNGs — the reference's demo mode
+    (sample_ultra_res_demo.py:169-198).
 
     Returns pos -> final-stage patch (stage_size², float16 [0,1]).
     """
@@ -317,6 +326,22 @@ def generate_patch_set(
             ].astype(store_dtype)
         start_stage = 2
 
+    if debug_dir is not None:
+        import os
+
+        from ..utils.logging import save_image
+
+        os.makedirs(debug_dir, exist_ok=True)
+
+    if mesh is not None:
+        from ..parallel.mesh import batch_sharding
+
+        data_size = mesh.shape.get("data", 1)
+        wave_sharding = batch_sharding(mesh)
+    else:
+        data_size = 1
+        wave_sharding = None
+
     for stage in range(start_stage, num_stages + 1):
         stage_size = cascade.config.stage(stage).image_size
         lowres_needed = cascade.config.stage(stage).lowres_cond
@@ -324,6 +349,8 @@ def generate_patch_set(
             for chunk_start in range(0, len(wave), max_wave_batch):
                 chunk = wave[chunk_start : chunk_start + max_wave_batch]
                 bsz = bucket_size(len(chunk))
+                if bsz % data_size:
+                    bsz = ((bsz + data_size - 1) // data_size) * data_size
 
                 kwargs = {}
                 if cond_by_pos is not None:
@@ -343,6 +370,14 @@ def generate_patch_set(
                     kwargs["inpaint_masks"] = _pad_to(msk, bsz)
                     kwargs["inpaint_resample_times"] = inpaint_resample_times
 
+                if wave_sharding is not None:
+                    kwargs = {
+                        k: jax.device_put(jax.numpy.asarray(v), wave_sharding)
+                        if isinstance(v, np.ndarray)
+                        else v
+                        for k, v in kwargs.items()
+                    }
+
                 key, sk = jax.random.split(key)
                 out = cascade.sample_stage(
                     params_per_stage[stage - 1], stage, sk, batch_size=bsz, **kwargs
@@ -350,6 +385,20 @@ def generate_patch_set(
                 out = np.asarray(out)[: len(chunk)].astype(store_dtype)
                 for k, pos in enumerate(chunk):
                     stores[stage][pos] = out[k]
+
+                if debug_dir is not None:
+                    for k, pos in enumerate(chunk):
+                        tag = f"s{stage}_w{wi}_{pos[0]}_{pos[1]}"
+                        save_image(out[k].astype(np.float32), f"{debug_dir}/{tag}_patch.png")
+                        if "cond_images" in kwargs:
+                            ci = np.asarray(kwargs["cond_images"][k])
+                            save_image(ci[..., :3], f"{debug_dir}/{tag}_cond.png")
+                        if inp is not None:
+                            save_image(inp[k], f"{debug_dir}/{tag}_inpaint.png")
+                            save_image(
+                                np.repeat(msk[k][..., None], 3, -1),
+                                f"{debug_dir}/{tag}_inpaint_mask.png",
+                            )
             if progress:
                 done = sum(len(w) for w in waves[: wi + 1])
                 print(
@@ -424,11 +473,17 @@ def generate_high_res_image(
     ignore_stage_1: bool = False,
     max_wave_batch: int = 16,
     progress: bool = True,
+    mesh=None,
+    debug_dir: Optional[str] = None,
+    max_patches: Optional[int] = None,
 ) -> np.ndarray:
     """One magnification refinement: coarse (H, W, 3) [0,1] -> finer
     uint8 canvas (the reference's generate_high_res_image,
     sample_ultra_res.py:415-448). The model patch size is the cascade's
-    final stage size (1024 for the reference configs)."""
+    final stage size (1024 for the reference configs).
+
+    `max_patches` truncates the patch set (the demo sampler's 2x2 limit,
+    sample_ultra_res_demo.py:117)."""
     patch_size = cascade.config.stages[-1].image_size
     cond_images, patch_pos, grid = get_cond_images(
         zoomed_image,
@@ -439,6 +494,11 @@ def generate_high_res_image(
         center_cond=center_cond,
         airs=airs,
     )
+    if max_patches is not None and len(patch_pos) > max_patches:
+        keep = set(patch_pos[:max_patches])
+        cond_images = cond_images[: max_patches]
+        patch_pos = patch_pos[:max_patches]
+        del keep
     if progress:
         print(
             f"[gigapixel] mag {mag_level}: {len(patch_pos)} patches, "
@@ -457,6 +517,8 @@ def generate_high_res_image(
         ignore_stage_1=ignore_stage_1,
         max_wave_batch=max_wave_batch,
         progress=progress,
+        mesh=mesh,
+        debug_dir=debug_dir,
     )
     return stitch_patches(
         zoomed_image,

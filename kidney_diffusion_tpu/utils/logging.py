@@ -75,6 +75,24 @@ def save_image(image, path: str) -> None:
     Image.fromarray(arr).save(path)
 
 
+def print_memory_usage(prefix: str = "") -> None:
+    """Per-device HBM usage (parity with the reference's CUDA memory
+    print, /root/reference/sample_ultra_res.py:68-72)."""
+    import jax
+
+    for d in jax.local_devices():
+        try:
+            stats = d.memory_stats()
+        except Exception:
+            stats = None
+        if stats:
+            used = stats.get("bytes_in_use", 0) / 2**30
+            limit = stats.get("bytes_limit", 0) / 2**30
+            print(f"{prefix}{d}: {used:.2f} / {limit:.2f} GiB in use", flush=True)
+        else:
+            print(f"{prefix}{d}: memory stats unavailable", flush=True)
+
+
 @contextlib.contextmanager
 def profile_trace(log_dir: str = "/tmp/jax-trace", enabled: bool = True):
     """jax.profiler trace context (view with TensorBoard / xprof)."""

@@ -266,3 +266,65 @@ def test_generate_outpainted_image_end_to_end():
     dist = 24
     assert out.shape == (32 + dist, 32 + dist, 3)
     assert out.dtype == np.uint8
+
+
+@pytest.mark.slow
+def test_generate_patch_set_mesh_sharded(tmp_path):
+    """Wave batches shard over an 8-device CPU mesh (SPMD inference),
+    with debug artifact dumping."""
+    import os
+
+    from kidney_diffusion_tpu.cascade import Cascade
+    from kidney_diffusion_tpu.models.configs import tiny_test_cascade
+    from kidney_diffusion_tpu.parallel.mesh import make_mesh
+    from kidney_diffusion_tpu.sample.gigapixel import generate_patch_set
+
+    cc = tiny_test_cascade(cond_images_channels=3, image_sizes=(16, 32), timesteps=4)
+    cas = Cascade(cc)
+    params = [cas.init_stage_params(jax.random.PRNGKey(i), i + 1) for i in range(2)]
+    mesh = make_mesh(data=8, model=1)
+
+    grid = GridSpec(patch_width=16, patch_dist=12, num_patches_width=3, overlap=0.25)
+    pos = full_grid(3)
+    cond = np.random.default_rng(0).uniform(size=(9, 32, 32, 3)).astype(np.float32)
+    debug_dir = str(tmp_path / "artifacts")
+    patches = generate_patch_set(
+        cas, params, jax.random.PRNGKey(0),
+        patch_pos=pos, grid=grid, cond_images=cond,
+        mesh=mesh, debug_dir=debug_dir, progress=False,
+    )
+    assert set(patches) == set(pos)
+    assert all(p.shape == (32, 32, 3) for p in patches.values())
+    dumped = os.listdir(debug_dir)
+    assert any(f.endswith("_patch.png") for f in dumped)
+    assert any(f.endswith("_cond.png") for f in dumped)
+    assert any(f.endswith("_inpaint_mask.png") for f in dumped)
+
+
+def test_plan_waves_single_row_and_column():
+    for pos in ([(0, j) for j in range(6)], [(i, 0) for i in range(6)]):
+        waves = plan_waves(pos, 1)
+        assert sum(len(w) for w in waves) == 6
+        # a line has strictly sequential dependencies in one direction
+        assert all(len(w) >= 1 for w in waves)
+
+
+@pytest.mark.slow
+def test_generate_patch_set_ignore_stage_1():
+    from kidney_diffusion_tpu.cascade import Cascade
+    from kidney_diffusion_tpu.models.configs import tiny_test_cascade
+    from kidney_diffusion_tpu.sample.gigapixel import generate_patch_set
+
+    cc = tiny_test_cascade(cond_images_channels=3, image_sizes=(16, 32), timesteps=4)
+    cas = Cascade(cc)
+    params = [None, cas.init_stage_params(jax.random.PRNGKey(1), 2)]
+    grid = GridSpec(patch_width=16, patch_dist=12, num_patches_width=2, overlap=0.25)
+    pos = full_grid(2)
+    cond = np.random.default_rng(0).uniform(size=(4, 32, 32, 3)).astype(np.float32)
+    patches = generate_patch_set(
+        cas, params, jax.random.PRNGKey(0),
+        patch_pos=pos, grid=grid, cond_images=cond,
+        ignore_stage_1=True, progress=False,
+    )
+    # stage 1 never ran (params[0] is None would have crashed otherwise)
+    assert set(patches) == set(pos)
