@@ -62,7 +62,9 @@ class Upsample(nn.Module):
     @nn.compact
     def __call__(self, x: Array) -> Array:
         b, h, w, c = x.shape
-        x = jnp.repeat(jnp.repeat(x, 2, axis=1), 2, axis=2)
+        # nearest x2 as broadcast+reshape (fuses; avoids gather-based repeat)
+        x = jnp.broadcast_to(x[:, :, None, :, None, :], (b, h, 2, w, 2, c))
+        x = x.reshape(b, h * 2, w * 2, c)
         return nn.Conv(self.dim_out, (3, 3), dtype=self.dtype, name="proj")(x)
 
 

@@ -345,9 +345,13 @@ def generate_patch_set(
     for stage in range(start_stage, num_stages + 1):
         stage_size = cascade.config.stage(stage).image_size
         lowres_needed = cascade.config.stage(stage).lowres_cond
+        # per-stage batch cap: measured on v5e, the 1024² stage saturates
+        # the chip at batch 1 (batch 2 is 1.37x SLOWER per patch and
+        # batch 4 fails to compile); batching only pays at <= 256²
+        stage_batch = max_wave_batch if stage_size <= 256 else max(data_size, 1)
         for wi, wave in enumerate(waves):
-            for chunk_start in range(0, len(wave), max_wave_batch):
-                chunk = wave[chunk_start : chunk_start + max_wave_batch]
+            for chunk_start in range(0, len(wave), stage_batch):
+                chunk = wave[chunk_start : chunk_start + stage_batch]
                 bsz = bucket_size(len(chunk))
                 if bsz % data_size:
                     bsz = ((bsz + data_size - 1) // data_size) * data_size
