@@ -208,10 +208,16 @@ class Cascade:
         cond_scale: float = 1.0,
         use_ddim: bool = False,
         ddim_steps: int = 0,
+        spatial_shard=None,
     ) -> Array:
         """Jit-cached stage sampling (one compiled program per
         (stage, batch, conditioning-signature); retraces only on new
-        shapes). The gigapixel orchestrator calls this once per wave."""
+        shapes). The gigapixel orchestrator calls this once per wave.
+
+        `spatial_shard`: a NamedSharding from parallel.mesh.spatial_sharding —
+        constrains the denoised image's H axis across the mesh so ONE
+        large patch is computed by many chips (halo exchanges inserted by
+        XLA)."""
         static_key = (
             unet_number,
             batch_size,
@@ -219,6 +225,7 @@ class Cascade:
             float(cond_scale),
             use_ddim,
             ddim_steps,
+            spatial_shard,
         )
         if not hasattr(self, "_stage_jit_cache"):
             self._stage_jit_cache = {}
@@ -240,9 +247,26 @@ class Cascade:
                     cond_scale=cond_scale,
                     use_ddim=use_ddim,
                     ddim_steps=ddim_steps,
+                    spatial_shard=spatial_shard,
                 )
 
             self._stage_jit_cache[static_key] = jax.jit(fn)
+
+        if spatial_shard is not None:
+            # inputs must live on the same mesh as the activation
+            # constraint: replicate params/conditioning across it
+            from jax.sharding import NamedSharding, PartitionSpec as P
+
+            rep = NamedSharding(spatial_shard.mesh, P())
+            put = lambda t: (
+                jax.device_put(t, rep) if t is not None else None
+            )
+            params = jax.tree.map(lambda p: jax.device_put(p, rep), params)
+            lowres_image = put(lowres_image)
+            text_embeds = put(text_embeds)
+            cond_images = put(cond_images)
+            inpaint_images = put(inpaint_images)
+            inpaint_masks = put(inpaint_masks)
 
         return self._stage_jit_cache[static_key](
             params, key, lowres_image, text_embeds, cond_images,
@@ -265,6 +289,7 @@ class Cascade:
         cond_scale: float = 1.0,
         use_ddim: bool = False,
         ddim_steps: int = 0,
+        spatial_shard=None,
     ) -> Array:
         """Sample one stage. `lowres_image` is the previous stage's [0,1]
         output at any size. Returns [0,1] images at this stage's size."""
@@ -313,6 +338,8 @@ class Cascade:
             )
 
             def denoise_fn(x_t, t):
+                if spatial_shard is not None:
+                    x_t = jax.lax.with_sharding_constraint(x_t, spatial_shard)
                 pred2 = model.apply(
                     params,
                     jnp.concatenate([x_t, x_t], axis=0),
@@ -328,6 +355,8 @@ class Cascade:
                 model_kwargs["cond_drop_mask"] = jnp.zeros((batch_size,))
 
             def denoise_fn(x_t, t):
+                if spatial_shard is not None:
+                    x_t = jax.lax.with_sharding_constraint(x_t, spatial_shard)
                 return model.apply(params, x_t, t, **model_kwargs)
 
         inpaint_norm = normalize_img(inpaint_images) if inpaint_images is not None else None

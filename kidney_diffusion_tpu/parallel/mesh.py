@@ -89,6 +89,16 @@ def shard_batch(mesh: Mesh, batch):
     )
 
 
+def spatial_sharding(mesh: Mesh, axis: str = "data") -> NamedSharding:
+    """Shard NHWC activations along H over a mesh axis.
+
+    Used for single-patch super-res inference: one 1024² image's rows
+    spread across chips; XLA inserts the conv halo exchanges over ICI.
+    This is the honest "context/sequence parallelism" of this workload
+    (SURVEY.md §5: scaling spatial extent)."""
+    return NamedSharding(mesh, P(None, axis, None, None))
+
+
 def fsdp_param_spec(path_unused, leaf, model_axis_size: int) -> P:
     """FSDP rule: shard a parameter's largest divisible axis over "model".
 

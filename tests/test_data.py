@@ -257,3 +257,50 @@ def test_loader_over_ultra_res():
     b = next(it)
     assert b["images"].shape == (2, 64, 64, 3)
     assert b["cond_images"].shape == (2, 64, 64, 3)
+
+
+def test_kumar_dataset_fixture(tmp_path):
+    """Kumar layout round trip: csv metadata + npy patches/masks."""
+    import os
+
+    from kidney_diffusion_tpu.data.kumar import KumarDataset, NUM_RANDOM_CROPS
+
+    os.makedirs(tmp_path / "Supplementary")
+    os.makedirs(tmp_path / "Patches")
+    os.makedirs(tmp_path / "Labels")
+    rng = np.random.default_rng(0)
+    ids = ["img1x", "img2x"]
+    with open(tmp_path / "Supplementary" / "supplementary.csv", "w") as f:
+        f.write("ID;Type;Disease\n")
+        f.write(f"{ids[0]};Kidney;Kidney renal clear cell carcinoma\n")
+        f.write(f"{ids[1]};Breast;Breast invasive carcinoma\n")
+    for pid in ids:
+        np.save(
+            tmp_path / "Patches" / f"{pid[:-1]}.npy",
+            rng.integers(0, 255, size=(400, 400, 3), dtype=np.uint8),
+        )
+        np.save(
+            tmp_path / "Labels" / f"{pid}binary_mask.npy",
+            rng.integers(0, 2, size=(400, 400)).astype(np.uint8),
+        )
+
+    ds = KumarDataset(str(tmp_path))
+    assert len(ds) == 8 * NUM_RANDOM_CROPS * 2
+    patch, conds, labelmap = ds[0]
+    assert patch.shape == (256, 256, 3)
+    assert labelmap.shape == (256, 256, 1)
+    assert conds.shape == (1, 2)
+    # normalised kidney type index
+    assert conds[0, 0] == pytest.approx(1 / 7)
+    # crops reproducible; different crop slots differ
+    patch2, _, _ = ds[0]
+    np.testing.assert_array_equal(patch, patch2)
+    patch3, _, _ = ds[8]  # next crop slot
+    assert not np.array_equal(patch, patch3)
+    # flip parity with the augmentation module
+    from kidney_diffusion_tpu.ops.augment import flip_rotate
+
+    p0, _, l0 = ds[0]
+    p1, _, l1 = ds[1]
+    np.testing.assert_array_equal(p1, flip_rotate(p0, 1))
+    np.testing.assert_array_equal(l1, flip_rotate(l0, 1))

@@ -150,3 +150,29 @@ def test_loader_tuple_protocol():
     assert set(b) == {"images", "text_embeds", "cond_images"}
     assert b["images"].shape == (4, 32, 32, 3)
     assert b["text_embeds"].shape == (4, 1, 3)
+
+
+def test_spatial_sharded_sampling(cascade):
+    """One image's rows sharded over 8 devices (sp axis): output must
+    match the unsharded run bit-for-bit given identical RNG."""
+    import jax
+    import jax.numpy as jnp
+
+    from kidney_diffusion_tpu.parallel.mesh import make_mesh, spatial_sharding
+
+    tr = Trainer(cascade)
+    tr.train_step(2, _batch())
+    params = tr.state(2).params
+    lowres = jnp.linspace(0, 1, 16 * 16 * 3).reshape(1, 16, 16, 3)
+
+    key = jax.random.PRNGKey(0)
+    base = cascade.sample_stage(params, 2, key, batch_size=1, lowres_image=lowres)
+
+    mesh = make_mesh(data=8, model=1)
+    sharded = cascade.sample_stage(
+        params, 2, key, batch_size=1, lowres_image=lowres,
+        spatial_shard=spatial_sharding(mesh),
+    )
+    np.testing.assert_allclose(
+        np.asarray(base), np.asarray(sharded), atol=2e-5
+    )
