@@ -68,10 +68,13 @@ def measure():
 
         out = run(jax.random.PRNGKey(0))
         sync(out)  # compile + warmup
-        t0 = time.perf_counter()
-        out = run(jax.random.PRNGKey(1))
-        sync(out)
-        dt = time.perf_counter() - t0
+        best = float("inf")
+        for rep in (1, 2):  # min over two reps damps tunnel jitter
+            t0 = time.perf_counter()
+            out = run(jax.random.PRNGKey(rep))
+            sync(out)
+            best = min(best, time.perf_counter() - t0)
+        dt = best
         per_step.append(dt / BENCH_TIMESTEPS)
         lowres = out
         del params

@@ -78,11 +78,16 @@ class Block(nn.Module):
     @nn.compact
     def __call__(self, x: Array, scale_shift=None) -> Array:
         x = nn.Conv(self.dim_out, (3, 3), dtype=self.dtype, name="conv")(x)
-        x = nn.GroupNorm(num_groups=self.groups, dtype=jnp.float32, name="norm")(x)
+        # norm statistics are computed in fp32 internally (flax) while
+        # activations stay in compute dtype — avoids an fp32 HBM round
+        # trip per block (the 1024² stage is bandwidth-bound)
+        x = nn.GroupNorm(num_groups=self.groups, dtype=self.dtype, name="norm")(x)
         if scale_shift is not None:
             scale, shift = scale_shift
-            x = x * (scale[:, None, None, :] + 1.0) + shift[:, None, None, :]
-        return nn.silu(x).astype(self.dtype)
+            x = x * (scale[:, None, None, :].astype(x.dtype) + 1.0) + shift[
+                :, None, None, :
+            ].astype(x.dtype)
+        return nn.silu(x)
 
 
 class ResnetBlock(nn.Module):
