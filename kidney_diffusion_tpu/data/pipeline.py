@@ -48,16 +48,31 @@ def make_loader(
     prefetch: int = 2,
     keywords: Optional[Sequence[str]] = None,
     drop_last: bool = True,
+    shard_by_process: bool = False,
 ) -> Iterator[dict]:
-    """Infinite iterator of {name: (B, ...) np.ndarray} batches."""
+    """Infinite iterator of {name: (B, ...) np.ndarray} batches.
+
+    `shard_by_process=True` gives each JAX process a disjoint stripe of
+    every epoch (multi-host training: each host loads only its share,
+    the global batch is assembled by the sharded jit)."""
     n = len(dataset)
     assert n >= batch_size, f"dataset ({n}) smaller than batch ({batch_size})"
     rng = np.random.default_rng(seed)
 
+    if shard_by_process:
+        import jax
+
+        proc, nproc = jax.process_index(), jax.process_count()
+    else:
+        proc, nproc = 0, 1
+
     def index_stream():
         while True:
             order = rng.permutation(n) if shuffle else np.arange(n)
-            stop = n - (n % batch_size) if drop_last else n
+            if nproc > 1:
+                order = order[proc::nproc]
+            m = len(order)
+            stop = m - (m % batch_size) if drop_last else m
             for i in range(0, stop, batch_size):
                 yield order[i : i + batch_size]
 

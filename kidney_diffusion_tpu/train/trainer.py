@@ -310,7 +310,14 @@ class Trainer:
         tree = {
             str(n): dataclasses.asdict(st) for n, st in self._states.items()
         }
-        save_checkpoint(path, tree, metadata={"stages": sorted(self._states)})
+        save_checkpoint(
+            path,
+            tree,
+            metadata={
+                "stages": sorted(self._states),
+                "cascade": self.cascade.config.name,  # provenance
+            },
+        )
 
     def load(self, path: str, *, noop_if_not_exist: bool = False, partial: bool = False) -> bool:
         if not checkpoint_exists(path):
