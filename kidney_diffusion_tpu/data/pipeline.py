@@ -92,3 +92,22 @@ def make_loader(
             yield out_q.get()
 
     return iterator()
+
+
+def prefetch_to_device(iterator: Iterator[dict], *, sharding=None, depth: int = 2):
+    """Double-buffered host->device transfer: the next batch's DMA
+    overlaps the current step's compute."""
+    import collections
+
+    import jax
+
+    def put(batch):
+        if sharding is None:
+            return jax.tree.map(jax.numpy.asarray, batch)
+        return jax.tree.map(lambda x: jax.device_put(x, sharding), batch)
+
+    buf = collections.deque()
+    for batch in iterator:
+        buf.append(put(batch))
+        if len(buf) >= depth:
+            yield buf.popleft()

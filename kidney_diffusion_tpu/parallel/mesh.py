@@ -63,6 +63,16 @@ def make_mesh(
         assert n % model == 0, (n, model)
         data = n // model
     assert data * model == n, f"{data}x{model} != {n} devices"
+    if devices == jax.devices():
+        # topology-aware placement: keep the "model" axis on the
+        # fastest (innermost ICI) links
+        try:
+            from jax.experimental import mesh_utils
+
+            arr = mesh_utils.create_device_mesh((data, model), devices=devices)
+            return Mesh(arr, ("data", "model"))
+        except Exception:
+            pass
     arr = np.asarray(devices).reshape(data, model)
     return Mesh(arr, ("data", "model"))
 
