@@ -451,3 +451,71 @@ class Cascade:
                 ddim_steps=ddim_steps,
             )
         return img
+
+    def sample_stagewise(
+        self,
+        params_per_stage: Sequence[Optional[Params]],
+        key: Array,
+        *,
+        num_images: int,
+        stage_batch_sizes: Sequence[int],
+        text_embeds: Optional[Array] = None,
+        cond_images: Optional[Array] = None,
+        cond_scale: float = 1.0,
+        stop_at_unet_number: Optional[int] = None,
+        ddim_steps: int = 0,
+        progress: bool = True,
+    ):
+        """Bulk generation, one STAGE at a time with per-stage batch sizes
+        — the reference's batched sampler shape (sample.py:19,37:
+        BATCH_SIZES=[128, 64, 6]): all images pass through stage 1 in
+        large chunks, then stage 2, etc. Intermediates stay on device.
+
+        Returns an (num_images, S, S, 3) array at the final stage size.
+        """
+        import numpy as np
+
+        stop = stop_at_unet_number or self.config.num_stages
+        current = None  # host store between stages (numpy, compact)
+        for n in range(1, stop + 1):
+            bsz = stage_batch_sizes[n - 1]
+            outs = []
+            def pad(x, b):
+                if x.shape[0] == b:
+                    return x
+                reps = jnp.repeat(x[-1:], b - x.shape[0], axis=0)
+                return jnp.concatenate([jnp.asarray(x), reps], axis=0)
+
+            for start in range(0, num_images, bsz):
+                b = min(bsz, num_images - start)
+                key, sk = jax.random.split(key)
+                kwargs = {}
+                if text_embeds is not None:
+                    kwargs["text_embeds"] = pad(
+                        jnp.asarray(text_embeds[start : start + b]), bsz
+                    )
+                if cond_images is not None:
+                    kwargs["cond_images"] = pad(
+                        jnp.asarray(cond_images[start : start + b]), bsz
+                    )
+                if current is not None:
+                    kwargs["lowres_image"] = pad(
+                        jnp.asarray(current[start : start + b]), bsz
+                    )
+                out = self.sample_stage(
+                    params_per_stage[n - 1], n, sk,
+                    batch_size=bsz,  # last chunk padded: one compile per stage
+                    cond_scale=cond_scale,
+                    use_ddim=ddim_steps > 0,
+                    ddim_steps=ddim_steps,
+                    **kwargs,
+                )
+                outs.append(np.asarray(out, np.float16)[:b])
+                if progress:
+                    print(
+                        f"[sample] stage {n}: {min(start + b, num_images)}"
+                        f"/{num_images}",
+                        flush=True,
+                    )
+            current = np.concatenate(outs, axis=0)
+        return current.astype(np.float32)

@@ -97,45 +97,37 @@ def main():
 
     batch_sizes = UNCOND_BATCH_SIZES if args.unconditional else COND_BATCH_SIZES
     stop = args.stop_at_unet_number or config.num_stages
-    # the smallest per-stage batch bounds the chunk size end-to-end
-    chunk = min(batch_sizes[:stop])
+
+    kwargs = {}
+    if not args.unconditional:
+        kwargs["text_embeds"] = np.tile(
+            np.asarray(DEFAULT_CONDS, np.float32)[None, None, :], (n_total, 1, 1)
+        )
+        if labelmaps is not None:
+            kwargs["cond_images"] = labelmaps
+        else:
+            # zero labelmap (sample.py:55)
+            kwargs["cond_images"] = np.zeros((n_total, 1024, 1024, 4), np.float32)
 
     key = jax.random.PRNGKey(np.random.randint(2**31))
-    generated = 0
     run_id = uuid4().hex[:8]
-    while generated < n_total:
-        b = min(chunk, n_total - generated)
-        kwargs = {}
-        if not args.unconditional:
-            kwargs["text_embeds"] = jnp.tile(
-                jnp.asarray(DEFAULT_CONDS)[None, None, :], (b, 1, 1)
-            )
-            if labelmaps is not None:
-                kwargs["cond_images"] = jnp.asarray(
-                    labelmaps[generated : generated + b]
-                )
-            else:
-                # zero labelmap (sample.py:55)
-                kwargs["cond_images"] = jnp.zeros((b, 1024, 1024, 4))
-
-        key, sk = jax.random.split(key)
-        images = cascade.sample(
-            params,
-            sk,
-            batch_size=b,
-            stop_at_unet_number=stop,
-            cond_scale=args.cond_scale,
-            ddim_steps=args.ddim_steps,
-            **kwargs,
+    # stage-at-a-time with the reference's per-stage batch sizes
+    images = cascade.sample_stagewise(
+        params,
+        key,
+        num_images=n_total,
+        stage_batch_sizes=batch_sizes,
+        cond_scale=args.cond_scale,
+        stop_at_unet_number=stop,
+        ddim_steps=args.ddim_steps,
+        **kwargs,
+    )
+    for i in range(n_total):
+        save_image(
+            images[i],
+            os.path.join(args.sample_dir, f"sample-{run_id}-{i}.png"),
         )
-        images = np.asarray(images)
-        for i in range(b):
-            save_image(
-                images[i],
-                os.path.join(args.sample_dir, f"sample-{run_id}-{generated + i}.png"),
-            )
-        generated += b
-        print(f"{generated}/{n_total} images generated", flush=True)
+    print(f"{n_total}/{n_total} images generated", flush=True)
 
 
 if __name__ == "__main__":

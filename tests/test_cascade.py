@@ -174,3 +174,33 @@ def test_random_crop_stage():
     images = jax.random.uniform(jax.random.PRNGKey(1), (2, 32, 32, 3))
     loss = cas.stage_loss(params, 2, jax.random.PRNGKey(2), images)
     assert np.isfinite(float(loss))
+
+
+def test_sample_stagewise(cascade, stage_params):
+    images, text, cond = _batch(b=5)
+    out = cascade.sample_stagewise(
+        stage_params,
+        jax.random.PRNGKey(0),
+        num_images=5,
+        stage_batch_sizes=(4, 2),
+        text_embeds=np.asarray(text),
+        cond_images=np.asarray(cond),
+        progress=False,
+    )
+    assert out.shape == (5, 32, 32, 3)
+    assert np.isfinite(out).all()
+
+
+def test_cfg_scale_one_equals_cond_path(cascade, stage_params):
+    """cond_scale=1.0 must not invoke the doubled-batch CFG branch and
+    must equal the plain conditional pass given the same key."""
+    _, text, cond = _batch()
+    a = cascade.sample_stage(
+        stage_params[0], 1, jax.random.PRNGKey(5), batch_size=2,
+        text_embeds=text, cond_images=cond, cond_scale=1.0,
+    )
+    b = cascade.sample_stage(
+        stage_params[0], 1, jax.random.PRNGKey(5), batch_size=2,
+        text_embeds=text, cond_images=cond,
+    )
+    np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-6)
