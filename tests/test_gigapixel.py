@@ -328,3 +328,25 @@ def test_generate_patch_set_ignore_stage_1():
     )
     # stage 1 never ran (params[0] is None would have crashed otherwise)
     assert set(patches) == set(pos)
+
+
+@pytest.mark.slow
+def test_gigapixel_determinism():
+    """Same key -> byte-identical canvas (the wavefront schedule is
+    static; no queue nondeterminism as in the reference's worker pool)."""
+    from kidney_diffusion_tpu.cascade import Cascade
+    from kidney_diffusion_tpu.models.configs import tiny_test_cascade
+
+    cc = tiny_test_cascade(cond_images_channels=3, image_sizes=(16, 32), timesteps=4)
+    cas = Cascade(cc)
+    params = [cas.init_stage_params(jax.random.PRNGKey(i), i + 1) for i in range(2)]
+    zoomed = np.random.default_rng(0).uniform(size=(64, 64, 3)).astype(np.float32)
+
+    outs = [
+        generate_high_res_image(
+            cas, params, jax.random.PRNGKey(7), zoomed, 1,
+            overlap=0.25, mag_sizes=(256, 128, 32), progress=False,
+        )
+        for _ in range(2)
+    ]
+    np.testing.assert_array_equal(outs[0], outs[1])
