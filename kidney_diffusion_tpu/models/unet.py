@@ -74,6 +74,9 @@ class UNetConfig:
     num_time_tokens: int = 2
     groups: int = 8
     dtype: str = "bfloat16"  # compute dtype; params are always fp32
+    remat: bool = False  # rematerialise resblocks (trade FLOPs for HBM
+    # during training — lets the 1024² stage train without random crops
+    # or at larger batch)
 
     @property
     def num_levels(self) -> int:
@@ -112,6 +115,7 @@ class EfficientUNet(nn.Module):
 
         num_levels = cfg.num_levels
         dims = tuple(cfg.dim * m for m in cfg.dim_mults)
+        ResBlock = nn.remat(ResnetBlock) if cfg.remat else ResnetBlock
         blocks_per = _per_level(cfg.num_resnet_blocks, num_levels)
         attns_per = _per_level(cfg.layer_attns, num_levels)
         cross_per = _per_level(cfg.layer_cross_attns, num_levels)
@@ -195,14 +199,14 @@ class EfficientUNet(nn.Module):
             d = dims[i]
             if cfg.memory_efficient:
                 x = Downsample(d, dt, name=f"down{i}_pre")(x)
-            x = ResnetBlock(d, cfg.groups, dt, name=f"down{i}_block0")(x, t_cond)
+            x = ResBlock(d, cfg.groups, dt, name=f"down{i}_block0")(x, t_cond)
             if cross_per[i]:
                 x = CrossAttentionBlock(
                     cfg.attn_heads, cfg.attn_dim_head, dt, name=f"down{i}_cross"
                 )(x, context)
             skips.append(x)
             for j in range(blocks_per[i]):
-                x = ResnetBlock(d, cfg.groups, dt, name=f"down{i}_block{j + 1}")(x, t_cond)
+                x = ResBlock(d, cfg.groups, dt, name=f"down{i}_block{j + 1}")(x, t_cond)
                 skips.append(x)
             if attns_per[i]:
                 x = TransformerBlock(
@@ -212,7 +216,7 @@ class EfficientUNet(nn.Module):
                 x = Downsample(dims[i + 1], dt, name=f"down{i}_post")(x)
 
         # ---- middle ----------------------------------------------------------
-        x = ResnetBlock(dims[-1], cfg.groups, dt, name="mid_block1")(x, t_cond)
+        x = ResBlock(dims[-1], cfg.groups, dt, name="mid_block1")(x, t_cond)
         if cross_per[-1]:
             x = CrossAttentionBlock(cfg.attn_heads, cfg.attn_dim_head, dt, name="mid_cross")(
                 x, context
@@ -221,7 +225,7 @@ class EfficientUNet(nn.Module):
             x = TransformerBlock(
                 cfg.attn_heads, cfg.attn_dim_head, cfg.ff_mult, dt, name="mid_attn"
             )(x, context)
-        x = ResnetBlock(dims[-1], cfg.groups, dt, name="mid_block2")(x, t_cond)
+        x = ResBlock(dims[-1], cfg.groups, dt, name="mid_block2")(x, t_cond)
 
         # ---- up path -----------------------------------------------------------
         for i in reversed(range(num_levels)):
@@ -229,7 +233,7 @@ class EfficientUNet(nn.Module):
             for j in range(blocks_per[i] + 1):
                 skip = skips.pop()
                 x = jnp.concatenate([x, skip], axis=-1)
-                x = ResnetBlock(d, cfg.groups, dt, name=f"up{i}_block{j}")(x, t_cond)
+                x = ResBlock(d, cfg.groups, dt, name=f"up{i}_block{j}")(x, t_cond)
             if cross_per[i]:
                 x = CrossAttentionBlock(
                     cfg.attn_heads, cfg.attn_dim_head, dt, name=f"up{i}_cross"
@@ -249,7 +253,7 @@ class EfficientUNet(nn.Module):
         # ---- final -----------------------------------------------------------
         if cfg.init_conv_to_final_conv_residual:
             x = jnp.concatenate([x, init_conv_out], axis=-1)
-        x = ResnetBlock(cfg.dim, cfg.groups, dt, name="final_block")(x, t_cond)
+        x = ResBlock(cfg.dim, cfg.groups, dt, name="final_block")(x, t_cond)
         out = nn.Conv(
             cfg.channels,
             (3, 3),

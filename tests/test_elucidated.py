@@ -109,3 +109,27 @@ def test_elucidated_cascade_train_and_sample():
     out = cas.sample(params, jax.random.PRNGKey(3), batch_size=1)
     assert out.shape == (1, 32, 32, 3)
     assert np.isfinite(np.asarray(out)).all()
+
+
+def test_elucidated_gigapixel_orchestrator():
+    """EDM-sampled stages work inside the wavefront orchestrator."""
+    from kidney_diffusion_tpu.cascade import Cascade
+    from kidney_diffusion_tpu.sample.gigapixel import GridSpec, generate_patch_set
+    from kidney_diffusion_tpu.sample.wavefront import full_grid
+
+    cc = elucidated(
+        tiny_test_cascade(cond_images_channels=3, image_sizes=(16, 32), timesteps=4),
+        num_sample_steps=(4, 4, 4), sigma_max=(80.0, 320.0, 320.0),
+    )
+    cas = Cascade(cc)
+    params = [cas.init_stage_params(jax.random.PRNGKey(i), i + 1) for i in range(2)]
+    grid = GridSpec(patch_width=16, patch_dist=12, num_patches_width=2, overlap=0.25)
+    pos = full_grid(2)
+    cond = np.random.default_rng(0).uniform(size=(4, 32, 32, 3)).astype(np.float32)
+    patches = generate_patch_set(
+        cas, params, jax.random.PRNGKey(0),
+        patch_pos=pos, grid=grid, cond_images=cond,
+        inpaint_resample_times=2, progress=False,
+    )
+    assert set(patches) == set(pos)
+    assert all(np.isfinite(p.astype(np.float32)).all() for p in patches.values())

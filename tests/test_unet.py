@@ -158,3 +158,23 @@ def test_tiny_cascade_helper():
     cc = tiny_test_cascade(condition_on_text=True, cond_images_channels=2)
     assert cc.num_stages == 2
     assert cc.stage(2).unet.lowres_cond
+
+
+def test_remat_matches_plain():
+    """remat=True changes memory, not math: outputs and grads agree."""
+    cfg_plain = _tiny()
+    cfg_remat = _tiny(remat=True)
+    model_p = EfficientUNet(cfg_plain)
+    model_r = EfficientUNet(cfg_remat)
+    x = jax.random.normal(jax.random.PRNGKey(0), (2, 16, 16, 3))
+    t = jnp.full((2,), 0.5)
+    params = model_p.init(jax.random.PRNGKey(1), x, t)
+
+    out_p = model_p.apply(params, x, t)
+    out_r = model_r.apply(params, x, t)
+    np.testing.assert_allclose(np.asarray(out_p), np.asarray(out_r), atol=1e-6)
+
+    g_p = jax.grad(lambda p: jnp.mean(model_p.apply(p, x, t) ** 2))(params)
+    g_r = jax.grad(lambda p: jnp.mean(model_r.apply(p, x, t) ** 2))(params)
+    for a, b in zip(jax.tree.leaves(g_p), jax.tree.leaves(g_r)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-6)
