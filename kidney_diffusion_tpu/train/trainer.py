@@ -306,10 +306,18 @@ class Trainer:
     # checkpointing
     # ------------------------------------------------------------------
 
-    def save(self, path: str) -> None:
-        tree = {
-            str(n): dataclasses.asdict(st) for n, st in self._states.items()
+    @staticmethod
+    def _state_dict(st: StageState) -> dict:
+        # shallow: dataclasses.asdict would deep-copy the param trees
+        return {
+            "params": st.params,
+            "ema_params": st.ema_params,
+            "opt_state": st.opt_state,
+            "step": st.step,
         }
+
+    def save(self, path: str) -> None:
+        tree = {str(n): self._state_dict(st) for n, st in self._states.items()}
         save_checkpoint(
             path,
             tree,
@@ -329,7 +337,7 @@ class Trainer:
         stages = load_metadata(path).get("stages", [])
         for n in stages:
             self.state(int(n))  # materialise target structure
-        target = {str(n): dataclasses.asdict(st) for n, st in self._states.items()}
+        target = {str(n): self._state_dict(st) for n, st in self._states.items()}
         restored = load_checkpoint(path, target, partial=partial)
         for n_str, d in restored.items():
             self._states[int(n_str)] = self._place_state(StageState(**d))
