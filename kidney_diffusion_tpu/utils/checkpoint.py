@@ -9,20 +9,34 @@ Covers the reference's checkpoint semantics:
     match are restored, everything else keeps its current value
   * a `version` string stored alongside, checked on load
     (/root/reference/sample_ultra_res.py:56-57)
+  * remote paths (gs://, s3://, ...) — the fsspec-checkpoint-IO
+    capability (/root/reference/sample_ultra_res.py:51-53) — via
+    etils.epath, which Orbax uses natively
 """
 
 from __future__ import annotations
 
 import json
-import os
 from typing import Any, Optional
 
 import jax
 import numpy as np
+from etils import epath
 
 from .. import __version__
 
 _META_NAME = "kdt_meta.json"
+
+
+def _path(path: str) -> epath.Path:
+    """Local paths are absolutized (tensorstore requires it); remote URIs
+    (gs://, s3://, ...) pass through."""
+    s = str(path)
+    if "://" not in s:
+        import os
+
+        s = os.path.abspath(os.path.expanduser(s))
+    return epath.Path(s)
 
 
 def _checkpointer():
@@ -32,30 +46,26 @@ def _checkpointer():
 
 
 def save_checkpoint(path: str, tree: Any, *, metadata: Optional[dict] = None) -> None:
-    """Save a pytree to `path` (a directory). Overwrites atomically."""
-    path = os.path.abspath(os.path.expanduser(path))
+    """Save a pytree to `path` (a local directory or remote URI).
+    Overwrites atomically."""
+    p = _path(path)
     ckptr = _checkpointer()
-    if os.path.exists(path):
-        import shutil
-
-        shutil.rmtree(path)
-    ckptr.save(path, tree)
+    if p.exists():
+        p.rmtree()
+    ckptr.save(p, tree)
     ckptr.wait_until_finished()
     meta = {"version": __version__, **(metadata or {})}
-    with open(os.path.join(path, _META_NAME), "w") as f:
-        json.dump(meta, f)
+    (p / _META_NAME).write_text(json.dumps(meta))
 
 
 def checkpoint_exists(path: str) -> bool:
-    path = os.path.abspath(os.path.expanduser(path))
-    return os.path.isdir(path)
+    return _path(path).is_dir()
 
 
 def load_metadata(path: str) -> dict:
-    meta_path = os.path.join(os.path.abspath(os.path.expanduser(path)), _META_NAME)
-    if os.path.exists(meta_path):
-        with open(meta_path) as f:
-            return json.load(f)
+    meta_path = _path(path) / _META_NAME
+    if meta_path.exists():
+        return json.loads(meta_path.read_text())
     return {}
 
 
@@ -66,7 +76,7 @@ def load_checkpoint(path: str, target: Any, *, partial: bool = False) -> Any:
     leaves exist with matching shapes/dtypes; keep `target`'s values
     elsewhere (and report what was skipped).
     """
-    path = os.path.abspath(os.path.expanduser(path))
+    p = _path(path)
     ckptr = _checkpointer()
     meta = load_metadata(path)
     if meta.get("version") and meta["version"] != __version__:
@@ -74,13 +84,13 @@ def load_checkpoint(path: str, target: Any, *, partial: bool = False) -> Any:
             f"[checkpoint] saved at version {meta['version']}, current {__version__}"
         )
     if not partial:
-        return ckptr.restore(path, target)
+        return ckptr.restore(p, target)
 
     # shape-tolerant: restore with raw structure, then merge
     try:
-        raw = ckptr.restore(path)
+        raw = ckptr.restore(p)
     except Exception:
-        return ckptr.restore(path, target)
+        return ckptr.restore(p, target)
 
     flat_target = _flatten_with_paths(target)
     flat_raw = _flatten_with_paths(raw)

@@ -176,3 +176,24 @@ def test_spatial_sharded_sampling(cascade):
     np.testing.assert_allclose(
         np.asarray(base), np.asarray(sharded), atol=2e-5
     )
+
+
+def test_prefetch_to_device():
+    from kidney_diffusion_tpu.data.pipeline import make_loader, prefetch_to_device
+
+    ds = SyntheticDataset(n=16)
+    it = make_loader(ds, batch_size=4, num_workers=2)
+    dev_it = prefetch_to_device(it, depth=2)
+    b1 = next(dev_it)
+    b2 = next(dev_it)
+    assert b1["images"].shape == (4, 32, 32, 3)
+    assert hasattr(b1["images"], "devices")  # on-device arrays
+
+
+def test_shard_by_process_single_process():
+    from kidney_diffusion_tpu.data.pipeline import make_loader
+
+    ds = SyntheticDataset(n=16)
+    it = make_loader(ds, batch_size=4, num_workers=2, shard_by_process=True)
+    b = next(it)
+    assert b["images"].shape == (4, 32, 32, 3)
