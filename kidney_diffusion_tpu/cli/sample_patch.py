@@ -23,7 +23,6 @@ from uuid import uuid4
 
 import numpy as np
 import jax
-import jax.numpy as jnp
 
 from ..cascade import Cascade
 from ..models.configs import patch_conditioned, patch_unconditional

@@ -23,7 +23,6 @@ process per host drives a global-semantics jit program.
 from __future__ import annotations
 
 import dataclasses
-import time
 from typing import Any, Dict, Iterator, Optional
 
 import jax
