@@ -373,7 +373,7 @@ class Cascade:
                 inpaint_masks=inpaint_masks,
                 inpaint_resample_times=inpaint_resample_times,
             )
-        elif use_ddim and ddim_steps > 0 and inpaint_norm is None:
+        elif use_ddim and ddim_steps > 0:
             from .core.diffusion import ddim_sample_loop
 
             out = ddim_sample_loop(
@@ -383,6 +383,9 @@ class Cascade:
                 key,
                 objective=st.pred_objective,
                 num_steps=ddim_steps,
+                inpaint_images=inpaint_norm,
+                inpaint_masks=inpaint_masks,
+                inpaint_resample_times=inpaint_resample_times,
             )
         else:
             out = sample_loop(

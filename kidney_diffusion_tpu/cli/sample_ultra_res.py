@@ -45,6 +45,9 @@ def parse_args():
     p.add_argument("--max_wave_batch", type=int, default=16)
     p.add_argument("--seed", type=int, default=None)
     p.add_argument("--stop_at_mag", type=int, default=2)
+    p.add_argument("--ddim_steps", type=int, default=0,
+                   help="DDIM fast path with this many steps per stage "
+                        "(~4x faster gigapixel at 64 vs 256)")
     p.add_argument("--num_devices", type=int, default=None,
                    help="shard wave batches over this many devices "
                         "(default: all local devices)")
@@ -109,6 +112,7 @@ def main():
         ignore_stage_1=args.ignore_unet_1,
         max_wave_batch=args.max_wave_batch,
         mesh=mesh,
+        ddim_steps=args.ddim_steps,
     )
     save_image(mag1, f"{args.sample_dir}/MAG1-{sample_id}{postfix}.jpg")
     print(f"MAG1 saved ({mag1.shape})", flush=True)
@@ -127,6 +131,7 @@ def main():
         ignore_stage_1=args.ignore_unet_1,
         max_wave_batch=args.max_wave_batch,
         mesh=mesh,
+        ddim_steps=args.ddim_steps,
     )
     save_image(mag2, f"{args.sample_dir}/MAG2-{sample_id}{postfix}.jpg")
     print(f"MAG2 saved ({mag2.shape})", flush=True)

@@ -240,11 +240,16 @@ def ddim_sample_loop(
     eta: float = 0.0,
     use_dynamic_threshold: bool = True,
     threshold_percentile: float = 0.95,
+    inpaint_images: Optional[Array] = None,
+    inpaint_masks: Optional[Array] = None,
+    inpaint_resample_times: int = 1,
 ) -> Array:
     """DDIM sampler (Song et al. 2020) — the fast path for serving.
 
     Uses the same continuous-time schedule; `num_steps` can be far smaller
-    than the training discretisation.
+    than the training discretisation. Supports the same RePaint-style
+    inpainting contract as the ancestral loop, so the gigapixel seam
+    blending can ride the fast path too.
     """
     batch = shape[0]
     times = jnp.linspace(1.0, 0.0, num_steps + 1, dtype=jnp.float32)
@@ -253,11 +258,15 @@ def ddim_sample_loop(
     key, init_key = jax.random.split(key)
     x = jax.random.normal(init_key, shape, jnp.float32)
 
-    def step(carry, pair):
-        x, key = carry
-        t = jnp.full((batch,), pair[0], jnp.float32)
-        t_next = jnp.full((batch,), pair[1], jnp.float32)
+    has_inpaint = inpaint_images is not None and inpaint_masks is not None
+    if has_inpaint:
+        inpaint_images = inpaint_images.astype(jnp.float32)
+        mask = inpaint_masks.astype(jnp.float32)
+        if mask.ndim == len(shape) - 1:
+            mask = mask[..., None]
+    resample_times = max(int(inpaint_resample_times), 1) if has_inpaint else 1
 
+    def ddim_update(x, t, t_next, key):
         pred = denoise_fn(x, t).astype(jnp.float32)
         x0 = pred_to_x_start(diffusion, x, t, pred, objective=objective)
         x0 = dynamic_threshold(x0, threshold_percentile) if use_dynamic_threshold else static_threshold(x0)
@@ -272,19 +281,49 @@ def ddim_sample_loop(
         )
 
         if eta > 0:
-            key, nkey = jax.random.split(key)
             ddim_sigma = (
                 eta * sigma_next / jnp.clip(sigma, min=1e-8)
                 * jnp.sqrt(jnp.clip(1.0 - (alpha / jnp.clip(alpha_next, min=1e-8)) ** 2, min=0.0))
             )
             dir_coeff = jnp.sqrt(jnp.clip(sigma_next**2 - ddim_sigma**2, min=0.0))
-            noise = jax.random.normal(nkey, x.shape, jnp.float32)
-            x = alpha_next * x0 + dir_coeff * eps + ddim_sigma * noise
-        else:
-            x = alpha_next * x0 + sigma_next * eps
+            noise = jax.random.normal(key, x.shape, jnp.float32)
+            return alpha_next * x0 + dir_coeff * eps + ddim_sigma * noise
+        return alpha_next * x0 + sigma_next * eps
+
+    def step(carry, pair):
+        x, key = carry
+        t = jnp.full((batch,), pair[0], jnp.float32)
+        t_next = jnp.full((batch,), pair[1], jnp.float32)
+
+        if not has_inpaint:
+            key, ukey = jax.random.split(key)
+            x = ddim_update(x, t, t_next, ukey)
+            return (x, key), None
+
+        def body(r, carry):
+            x, key = carry
+            key, k1, k2, k3 = jax.random.split(key, 4)
+            noised, *_ = diffusion.q_sample(
+                inpaint_images, t, jax.random.normal(k1, x.shape, jnp.float32)
+            )
+            x = x * (1.0 - mask) + noised * mask
+            x = ddim_update(x, t, t_next, k2)
+            renoise = jnp.logical_and(r < resample_times - 1, t_next[0] > 0)
+            x = jnp.where(
+                renoise,
+                diffusion.q_sample_from_to(
+                    x, t_next, t, jax.random.normal(k3, x.shape, jnp.float32)
+                ),
+                x,
+            )
+            return (x, key)
+
+        x, key = jax.lax.fori_loop(0, resample_times, body, (x, key))
         return (x, key), None
 
     (x, _), _ = jax.lax.scan(step, (x, key), time_pairs, length=num_steps)
+    if has_inpaint:
+        x = x * (1.0 - mask) + inpaint_images * mask
     return jnp.clip(x, -1.0, 1.0)
 
 

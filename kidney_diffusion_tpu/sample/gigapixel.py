@@ -288,6 +288,7 @@ def generate_patch_set(
     progress: bool = True,
     mesh=None,
     debug_dir: Optional[str] = None,
+    ddim_steps: int = 0,
 ) -> Dict[Pos, np.ndarray]:
     """Generate all patches of one magnification level through the full
     cascade, wave by wave, batched.
@@ -382,6 +383,9 @@ def generate_patch_set(
                         for k, v in kwargs.items()
                     }
 
+                if ddim_steps > 0:
+                    kwargs["use_ddim"] = True
+                    kwargs["ddim_steps"] = ddim_steps
                 key, sk = jax.random.split(key)
                 out = cascade.sample_stage(
                     params_per_stage[stage - 1], stage, sk, batch_size=bsz, **kwargs
@@ -480,6 +484,7 @@ def generate_high_res_image(
     mesh=None,
     debug_dir: Optional[str] = None,
     max_patches: Optional[int] = None,
+    ddim_steps: int = 0,
 ) -> np.ndarray:
     """One magnification refinement: coarse (H, W, 3) [0,1] -> finer
     uint8 canvas (the reference's generate_high_res_image,
@@ -523,6 +528,7 @@ def generate_high_res_image(
         progress=progress,
         mesh=mesh,
         debug_dir=debug_dir,
+        ddim_steps=ddim_steps,
     )
     return stitch_patches(
         zoomed_image,

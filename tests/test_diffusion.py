@@ -119,3 +119,25 @@ def test_sample_loop_jittable():
 
     out = run(jax.random.PRNGKey(0))
     assert out.shape == (1, 4, 4, 3)
+
+
+def test_ddim_inpaint_keeps_known_pixels():
+    gd = GaussianDiffusion(num_timesteps=32)
+    target = jnp.full((1, 8, 8, 3), 0.25)
+    known = jnp.full((1, 8, 8, 3), -0.75)
+    mask = jnp.zeros((1, 8, 8)).at[:, :4, :].set(1.0)
+
+    out = ddim_sample_loop(
+        gd,
+        _oracle_denoiser(gd, target),
+        (1, 8, 8, 3),
+        jax.random.PRNGKey(2),
+        objective="noise",
+        num_steps=16,
+        inpaint_images=known,
+        inpaint_masks=mask,
+        inpaint_resample_times=3,
+    )
+    out = np.asarray(out)
+    np.testing.assert_allclose(out[:, :4, :, :], -0.75, atol=1e-6)
+    np.testing.assert_allclose(out[:, 4:, :, :], 0.25, atol=0.1)
