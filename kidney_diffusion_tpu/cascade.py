@@ -208,6 +208,7 @@ class Cascade:
         cond_scale: float = 1.0,
         use_ddim: bool = False,
         ddim_steps: int = 0,
+        ddim_eta: float = 0.0,
         spatial_shard=None,
     ) -> Array:
         """Jit-cached stage sampling (one compiled program per
@@ -225,6 +226,7 @@ class Cascade:
             float(cond_scale),
             use_ddim,
             ddim_steps,
+            float(ddim_eta),
             spatial_shard,
         )
         if not hasattr(self, "_stage_jit_cache"):
@@ -247,6 +249,7 @@ class Cascade:
                     cond_scale=cond_scale,
                     use_ddim=use_ddim,
                     ddim_steps=ddim_steps,
+                    ddim_eta=ddim_eta,
                     spatial_shard=spatial_shard,
                 )
 
@@ -289,6 +292,7 @@ class Cascade:
         cond_scale: float = 1.0,
         use_ddim: bool = False,
         ddim_steps: int = 0,
+        ddim_eta: float = 0.0,
         spatial_shard=None,
     ) -> Array:
         """Sample one stage. `lowres_image` is the previous stage's [0,1]
@@ -383,6 +387,7 @@ class Cascade:
                 key,
                 objective=st.pred_objective,
                 num_steps=ddim_steps,
+                eta=ddim_eta,
                 inpaint_images=inpaint_norm,
                 inpaint_masks=inpaint_masks,
                 inpaint_resample_times=inpaint_resample_times,
@@ -416,6 +421,7 @@ class Cascade:
         inpaint_resample_times: int = 1,
         cond_scale: float = 1.0,
         ddim_steps: int = 0,
+        ddim_eta: float = 0.0,
     ) -> Array:
         """Cascade sampling across a window of stages, mirroring
         `imagen.sample(start_at_unet_number=..., stop_at_unet_number=...)`
@@ -424,7 +430,8 @@ class Cascade:
 
         `ddim_steps > 0` switches non-inpainting stages to the DDIM fast
         path with that many steps (serving accelerator; not in the
-        reference's surface)."""
+        reference's surface); `ddim_eta > 0` makes DDIM stochastic
+        (Song et al. 2020 eq. 16)."""
         stop = stop_at_unet_number or self.config.num_stages
         img = start_image
         for n in range(start_at_unet_number, stop + 1):
@@ -452,6 +459,7 @@ class Cascade:
                 cond_scale=cond_scale,
                 use_ddim=ddim_steps > 0,
                 ddim_steps=ddim_steps,
+                ddim_eta=ddim_eta,
             )
         return img
 
@@ -467,6 +475,7 @@ class Cascade:
         cond_scale: float = 1.0,
         stop_at_unet_number: Optional[int] = None,
         ddim_steps: int = 0,
+        ddim_eta: float = 0.0,
         progress: bool = True,
     ):
         """Bulk generation, one STAGE at a time with per-stage batch sizes
@@ -511,6 +520,7 @@ class Cascade:
                     cond_scale=cond_scale,
                     use_ddim=ddim_steps > 0,
                     ddim_steps=ddim_steps,
+                    ddim_eta=ddim_eta,
                     **kwargs,
                 )
                 outs.append(np.asarray(out, np.float16)[:b])

@@ -50,6 +50,8 @@ def parse_args():
                    help="zero all but glomeruli+tubuli channels")
     p.add_argument("--variants_per_mask", type=int, default=3)
     p.add_argument("--stop_at_unet_number", type=int, default=None)
+    p.add_argument("--ddim_eta", type=float, default=0.0,
+                   help="DDIM stochasticity (0 = deterministic)")
     p.add_argument("--ddim_steps", type=int, default=0,
                    help="use the DDIM fast path with this many steps")
     return p.parse_args()
@@ -119,6 +121,7 @@ def main():
         cond_scale=args.cond_scale,
         stop_at_unet_number=stop,
         ddim_steps=args.ddim_steps,
+        ddim_eta=args.ddim_eta,
         **kwargs,
     )
     for i in range(n_total):

@@ -12,6 +12,7 @@ import argparse
 
 from ..cascade import Cascade
 from ..data.kumar import KumarDataset
+from ..data.pipeline import train_valid_split
 from ..models.configs import kumar
 from ..train import Trainer
 from .train_loop import default_sample_fn, run_training
@@ -45,12 +46,14 @@ def main():
 
     dataset = KumarDataset(args.data_path)
     keywords = ("images", "text_embeds", "cond_images")
+    # 90/10 held-out validation split (reference train_kumar.py:125-135)
+    train_ds, valid_ds = train_valid_split(dataset, 0.1)
     trainer.add_train_dataset(
-        dataset, batch_size=args.batch_size, num_workers=args.num_workers,
+        train_ds, batch_size=args.batch_size, num_workers=args.num_workers,
         keywords=keywords,
     )
     trainer.add_valid_dataset(
-        dataset, batch_size=args.batch_size, num_workers=args.num_workers,
+        valid_ds, batch_size=args.batch_size, num_workers=args.num_workers,
         keywords=keywords,
     )
 

@@ -14,6 +14,7 @@ import argparse
 
 from ..cascade import Cascade
 from ..data.patient import PatientDataset
+from ..data.pipeline import train_valid_split
 from ..models.configs import patch_conditioned, patch_unconditional
 from ..train import Trainer
 from .data_setup import load_patient_environment
@@ -39,24 +40,6 @@ def parse_args():
     p.add_argument("--num_workers", type=int, default=8)
     p.add_argument("--no_wandb", action="store_true")
     return p.parse_args()
-
-
-class _Split:
-    """Deterministic head/tail split view (reference uses a random
-    permutation Subset, train.py:162-165)."""
-
-    def __init__(self, dataset, start: int, stop: int, seed: int = 0):
-        import numpy as np
-
-        self._dataset = dataset
-        rng = np.random.default_rng(seed)
-        self._indices = rng.permutation(len(dataset))[start:stop]
-
-    def __len__(self):
-        return len(self._indices)
-
-    def __getitem__(self, i):
-        return self._dataset[int(self._indices[i])]
 
 
 def main():
@@ -85,9 +68,7 @@ def main():
         else "Using UNANNOTATED dataset for initial training"
     )
 
-    train_size = int((1 - SPLIT_VALID_FRACTION) * len(dataset))
-    train_ds = _Split(dataset, 0, train_size)
-    valid_ds = _Split(dataset, train_size, len(dataset))
+    train_ds, valid_ds = train_valid_split(dataset, SPLIT_VALID_FRACTION)
     print(f"training with {len(train_ds)} samples, validating with {len(valid_ds)}")
 
     keywords = (

@@ -14,6 +14,7 @@ from __future__ import annotations
 import argparse
 
 from ..cascade import Cascade
+from ..data.pipeline import train_valid_split
 from ..data.ultra_res import UltraResPatientDataset
 from ..data.airs import AirsDataset
 from ..models.configs import ultra_res
@@ -65,12 +66,14 @@ def main():
 
     # dataloader keyword switch on mag (train_ultra_res.py:108)
     keywords = ("images",) if mag == 0 else ("images", "cond_images")
+    # 90/10 held-out validation split (reference train_ultra_res.py:146-155)
+    train_ds, valid_ds = train_valid_split(dataset, 0.1)
     trainer.add_train_dataset(
-        dataset, batch_size=args.batch_size, num_workers=args.num_workers,
+        train_ds, batch_size=args.batch_size, num_workers=args.num_workers,
         keywords=keywords,
     )
     trainer.add_valid_dataset(
-        dataset, batch_size=args.batch_size, num_workers=args.num_workers,
+        valid_ds, batch_size=args.batch_size, num_workers=args.num_workers,
         keywords=keywords,
     )
 

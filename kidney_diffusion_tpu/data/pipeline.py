@@ -38,60 +38,165 @@ def _to_batch(samples, keywords: Optional[Sequence[str]]):
     return {"images": np.stack([np.asarray(s) for s in samples])}
 
 
-def make_loader(
-    dataset,
-    *,
-    batch_size: int,
-    shuffle: bool = True,
-    seed: int = 0,
-    num_workers: int = 8,
-    prefetch: int = 2,
-    keywords: Optional[Sequence[str]] = None,
-    drop_last: bool = True,
-    shard_by_process: bool = False,
-) -> Iterator[dict]:
+class _ProducerError:
+    """Queue sentinel carrying a producer-thread exception."""
+
+    def __init__(self, exc: BaseException):
+        self.exc = exc
+
+
+class DataLoader:
+    """Infinite iterator of {name: (B, ...) np.ndarray} batches with a
+    background producer thread.
+
+    Unlike a bare generator, producer exceptions PROPAGATE: a dataset
+    whose `__getitem__` raises (bad slide, corrupt h5 record) makes
+    `next(loader)` re-raise within one batch instead of hanging training
+    forever. `close()` (or use as a context manager) stops the thread
+    and worker pool; it is also called automatically on error."""
+
+    def __init__(
+        self,
+        dataset,
+        *,
+        batch_size: int,
+        shuffle: bool = True,
+        seed: int = 0,
+        num_workers: int = 8,
+        prefetch: int = 2,
+        keywords: Optional[Sequence[str]] = None,
+        drop_last: bool = True,
+        shard_by_process: bool = False,
+    ):
+        n = len(dataset)
+        assert n >= batch_size, f"dataset ({n}) smaller than batch ({batch_size})"
+        self._dataset = dataset
+        self._batch_size = batch_size
+        self._shuffle = shuffle
+        self._drop_last = drop_last
+        self._keywords = keywords
+        self._rng = np.random.default_rng(seed)
+
+        if shard_by_process:
+            import jax
+
+            self._proc, self._nproc = jax.process_index(), jax.process_count()
+        else:
+            self._proc, self._nproc = 0, 1
+
+        self._q: "queue.Queue" = queue.Queue(maxsize=prefetch)
+        self._stop = threading.Event()
+        self._pool = ThreadPoolExecutor(max_workers=max(num_workers, 1))
+        self._thread = threading.Thread(target=self._producer, daemon=True)
+        self._thread.start()
+
+    def _index_stream(self):
+        n = len(self._dataset)
+        while True:
+            order = self._rng.permutation(n) if self._shuffle else np.arange(n)
+            if self._nproc > 1:
+                order = order[self._proc :: self._nproc]
+            m = len(order)
+            stop = m - (m % self._batch_size) if self._drop_last else m
+            for i in range(0, stop, self._batch_size):
+                yield order[i : i + self._batch_size]
+
+    def _put(self, item) -> bool:
+        """Blocking put that notices close(); returns False if stopping."""
+        while not self._stop.is_set():
+            try:
+                self._q.put(item, timeout=0.1)
+                return True
+            except queue.Full:
+                continue
+        return False
+
+    def _producer(self):
+        try:
+            for idxs in self._index_stream():
+                if self._stop.is_set():
+                    return
+                samples = list(self._pool.map(self._dataset.__getitem__, idxs))
+                if not self._put(_to_batch(samples, self._keywords)):
+                    return
+        except BaseException as exc:  # noqa: BLE001 — re-raised in consumer
+            self._put(_ProducerError(exc))
+
+    def __iter__(self) -> Iterator[dict]:
+        return self
+
+    def __next__(self) -> dict:
+        if self._stop.is_set():
+            raise StopIteration
+        item = self._q.get()
+        if isinstance(item, _ProducerError):
+            self.close()
+            raise RuntimeError("dataset worker failed") from item.exc
+        return item
+
+    def close(self):
+        self._stop.set()
+        # drain so a blocked producer put() can observe the stop flag
+        try:
+            while True:
+                self._q.get_nowait()
+        except queue.Empty:
+            pass
+        if self._thread.is_alive():
+            self._thread.join(timeout=5.0)
+        self._pool.shutdown(wait=False, cancel_futures=True)
+
+    def __enter__(self):
+        return self
+
+    def __exit__(self, *exc):
+        self.close()
+
+    def __del__(self):
+        try:
+            self.close()
+        except Exception:
+            pass
+
+
+class PermutationSplit:
+    """Deterministic permutation-split view over a dataset (the
+    reference's `torch.utils.data.Subset` over a seeded `randperm`,
+    /root/reference/train.py:162-165, train_ultra_res.py:146-155)."""
+
+    def __init__(self, dataset, start: int, stop: int, seed: int = 0):
+        self._dataset = dataset
+        rng = np.random.default_rng(seed)
+        self._indices = rng.permutation(len(dataset))[start:stop]
+
+    @property
+    def indices(self) -> np.ndarray:
+        return self._indices
+
+    def __len__(self):
+        return len(self._indices)
+
+    def __getitem__(self, i):
+        return self._dataset[int(self._indices[i])]
+
+
+def train_valid_split(dataset, valid_fraction: float = 0.1, seed: int = 0):
+    """90/10-style held-out split: two disjoint PermutationSplit views
+    (same permutation, head = train, tail = valid)."""
+    train_size = int((1 - valid_fraction) * len(dataset))
+    return (
+        PermutationSplit(dataset, 0, train_size, seed),
+        PermutationSplit(dataset, train_size, len(dataset), seed),
+    )
+
+
+def make_loader(dataset, **kwargs) -> DataLoader:
     """Infinite iterator of {name: (B, ...) np.ndarray} batches.
 
     `shard_by_process=True` gives each JAX process a disjoint stripe of
     every epoch (multi-host training: each host loads only its share,
     the global batch is assembled by the sharded jit)."""
-    n = len(dataset)
-    assert n >= batch_size, f"dataset ({n}) smaller than batch ({batch_size})"
-    rng = np.random.default_rng(seed)
-
-    if shard_by_process:
-        import jax
-
-        proc, nproc = jax.process_index(), jax.process_count()
-    else:
-        proc, nproc = 0, 1
-
-    def index_stream():
-        while True:
-            order = rng.permutation(n) if shuffle else np.arange(n)
-            if nproc > 1:
-                order = order[proc::nproc]
-            m = len(order)
-            stop = m - (m % batch_size) if drop_last else m
-            for i in range(0, stop, batch_size):
-                yield order[i : i + batch_size]
-
-    out_q: "queue.Queue" = queue.Queue(maxsize=prefetch)
-    pool = ThreadPoolExecutor(max_workers=max(num_workers, 1))
-
-    def producer():
-        for idxs in index_stream():
-            samples = list(pool.map(dataset.__getitem__, idxs))
-            out_q.put(_to_batch(samples, keywords))
-
-    t = threading.Thread(target=producer, daemon=True)
-    t.start()
-
-    def iterator():
-        while True:
-            yield out_q.get()
-
-    return iterator()
+    return DataLoader(dataset, **kwargs)
 
 
 def prefetch_to_device(iterator: Iterator[dict], *, sharding=None, depth: int = 2):

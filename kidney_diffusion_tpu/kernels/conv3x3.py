@@ -1,0 +1,421 @@
+"""Pallas TPU fused 3x3 convolution for the super-res U-Net hot path.
+
+Motivation (measured on v5e, see PERF.md): XLA's spatial convolution at
+the 1024² stage's fat shapes (1024²/512² maps, 128-256 channels) runs at
+~3x its compute floor — the im2col lowering re-reads the input per tap.
+This kernel holds a halo'd row-tile of the input in VMEM and computes
+the 9 taps as MXU matmuls against a (Cin, Cout) slice of the weights,
+reading the input once.
+
+It also fuses the surrounding ResnetBlock elementwise work
+(models/blocks.py:Block = conv -> GroupNorm -> FiLM -> SiLU — the
+per-step U-Net forward inside the reference's sampling hot loop,
+/root/reference/sample_ultra_res.py:183-195):
+
+  * prologue: per-(batch, channel) affine + SiLU applied to the input
+    while it is in VMEM — this is the PREVIOUS GroupNorm-apply + FiLM
+    folded to `silu(x * a + c)` form, so the normalized activation map
+    never round-trips through HBM;
+  * epilogue: per-channel sum / sum-of-squares of the conv output,
+    accumulated across the grid — the NEXT GroupNorm's statistics for
+    free (no separate reduction pass over the map).
+
+Grid: (batch, H/TH) over row-tiles of the NHWC input. The one-row halos
+come from two small side inputs (the tile-boundary rows, strided-sliced
+out in XLA at 2/TH of a map's traffic) so every tensor uses plain
+auto-pipelined BlockSpecs — no manual DMA.
+
+Gradients: `conv3x3` carries a custom VJP whose backward differentiates
+the XLA reference implementation — the kernel is for the sampling hot
+loop; training steps recompute through XLA.
+
+Falls back to XLA off-TPU or for unsupported shapes.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+
+Array = jax.Array
+
+_LANE = 128
+# VMEM working-set budget per grid step, in estimate-space: the chip's
+# scoped limit is 16 MB and _tile_bytes overcounts by ~10% (calibrated
+# against an observed Mosaic OOM: estimate 19.7 MB -> actual 17.6 MB)
+_VMEM_BUDGET = 16 * 1024 * 1024
+
+
+def _tile_bytes(th: int, w: int, cin: int, cout: int) -> int:
+    """Estimate of the kernel's VMEM working set for a TH-row tile:
+    double-buffered input + output blocks, the prologue'd copy plus a
+    shifted/concat temporary, the fp32 accumulator, and the weights."""
+    pix = th * w
+    return (
+        2 * pix * cin * 2        # input block x2 buffers
+        + 2 * pix * cin * 2      # prologue'd copy + shifted/concat temp
+        + 2 * pix * cout * 2     # output block x2 buffers
+        + pix * cout * 4         # fp32 accumulator
+        + 2 * 9 * cin * cout * 2  # weights x2 buffers
+        + 2 * w * cin * 2        # halo scratch rows
+    )
+
+
+def _pick_th(h: int, w: int, cin: int, cout: int) -> Optional[int]:
+    best = None
+    for th in (1, 2, 4, 8, 16):
+        if h % th == 0 and _tile_bytes(th, w, cin, cout) <= _VMEM_BUDGET:
+            best = th
+    return best
+
+
+def _shift_w(x: Array, dx: int) -> Array:
+    """Shift along the W axis with zero fill; x: (rows, W, C)."""
+    if dx == 0:
+        return x
+    if dx == 1:  # tap reads column w+1 -> shift left
+        return jnp.pad(x[:, 1:], ((0, 0), (0, 1), (0, 0)))
+    return jnp.pad(x[:, :-1], ((0, 0), (1, 0), (0, 0)))  # dx == -1
+
+
+def _kernel(
+    x_hbm,      # full (B, H, W, Cin) in HBM/ANY — halo-row DMA source
+    x_ref,      # (1, TH, W, Cin) blocked in VMEM
+    w_ref,      # (9, Cin, Cout)
+    b_ref,      # (8, Cout) fp32; row 0 = bias
+    pro_ref,    # (1, 8, Cin) fp32; rows 0/1 = prologue a/c  (or None)
+    y_ref,      # out (1, TH, W, Cout)
+    s_ref,      # out (1, 8, Cout) fp32; rows 0/1 = sum/sumsq  (or None)
+    halo,       # scratch (2, W, Cin): row 0 = halo above, row 1 = below
+    sem,        # DMA semaphores (2,)
+    *,
+    th: int,
+    with_prologue: bool,
+    with_stats: bool,
+    out_dtype,
+):
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    bi = pl.program_id(0)
+    i = pl.program_id(1)
+    n_i = pl.num_programs(1)
+
+    # the two one-row halos come straight from HBM: a blocked side-input
+    # would read TH extra rows per tile, and a host-side strided slice
+    # lowers to a row gather (measured: pathological at 1024²)
+    top_dma = pltpu.make_async_copy(
+        x_hbm.at[bi, pl.ds(jnp.maximum(i * th - 1, 0), 1)],
+        halo.at[pl.ds(0, 1)],
+        sem.at[0],
+    )
+    bot_dma = pltpu.make_async_copy(
+        x_hbm.at[bi, pl.ds(jnp.minimum(i * th + th, n_i * th - 1), 1)],
+        halo.at[pl.ds(1, 1)],
+        sem.at[1],
+    )
+
+    @pl.when(i > 0)
+    def _():
+        top_dma.start()
+
+    @pl.when(i < n_i - 1)
+    def _():
+        bot_dma.start()
+
+    def prologue(v):
+        if not with_prologue:
+            return v
+        a = pro_ref[0, 0][None, None, :]           # (1, 1, Cin)
+        c = pro_ref[0, 1][None, None, :]
+        f = v.astype(jnp.float32) * a + c
+        return (f * jax.nn.sigmoid(f)).astype(v.dtype)  # SiLU
+
+    w_all = w_ref[:]                               # (9, Cin, Cout)
+    cout = w_all.shape[-1]
+    wid = x_ref.shape[2]
+
+    def taps(rows, dy, acc):
+        for dx in range(3):
+            xsd = _shift_w(rows, dx - 1).reshape(th * wid, -1)
+            acc += jax.lax.dot_general(
+                xsd,
+                w_all[dy * 3 + dx],
+                dimension_numbers=(((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )
+        return acc
+
+    xp = prologue(x_ref[0])                        # (TH, W, Cin)
+    acc = jnp.zeros((th * wid, cout), jnp.float32)
+    acc = taps(xp, 1, acc)                         # middle taps overlap the DMAs
+
+    @pl.when(i > 0)
+    def _():
+        top_dma.wait()
+
+    @pl.when(i < n_i - 1)
+    def _():
+        bot_dma.wait()
+
+    hp = prologue(halo[:])                         # (2, W, Cin)
+    # conv SAME zero padding at the image boundary — AFTER the prologue
+    # (padding is zeros in conv-input space)
+    row = jax.lax.broadcasted_iota(jnp.int32, (2, 1, 1), 0)
+    pad = ((i == 0) & (row == 0)) | ((i == n_i - 1) & (row == 1))
+    hp = jnp.where(pad, jnp.zeros_like(hp), hp)
+
+    acc = taps(jnp.concatenate([hp[0:1], xp[: th - 1]], axis=0), 0, acc)
+    acc = taps(jnp.concatenate([xp[1:], hp[1:2]], axis=0), 2, acc)
+
+    acc += b_ref[0][None, :]
+    y_ref[0] = acc.reshape(th, wid, cout).astype(out_dtype)
+
+    if with_stats:
+        @pl.when(i == 0)
+        def _():
+            s_ref[:] = jnp.zeros_like(s_ref)
+
+        s1 = jnp.sum(acc, axis=0)
+        s2 = jnp.sum(acc * acc, axis=0)
+        s_ref[0, 0, :] += s1
+        s_ref[0, 1, :] += s2
+
+
+def xla_conv3x3(
+    x: Array,
+    w: Array,
+    b: Optional[Array],
+    pro: Optional[Array] = None,
+    want_stats: bool = False,
+):
+    """Reference implementation (and gradient path). x: (B, H, W, Cin)
+    NHWC; w: (3, 3, Cin, Cout); pro: (B, 2, Cin) fp32 prologue [a; c]."""
+    if pro is not None:
+        a = pro[:, 0][:, None, None, :]
+        c = pro[:, 1][:, None, None, :]
+        f = x.astype(jnp.float32) * a + c
+        x = jax.nn.silu(f).astype(x.dtype)
+    y = jax.lax.conv_general_dilated(
+        x,
+        w.astype(x.dtype),
+        window_strides=(1, 1),
+        padding="SAME",
+        dimension_numbers=("NHWC", "HWIO", "NHWC"),
+        preferred_element_type=jnp.float32,
+    )
+    if b is not None:
+        y = y + b.astype(jnp.float32)[None, None, None, :]
+    out = y.astype(x.dtype)
+    if not want_stats:
+        return out
+    s1 = jnp.sum(y, axis=(1, 2))
+    s2 = jnp.sum(y * y, axis=(1, 2))
+    return out, jnp.stack([s1, s2], axis=1)  # (B, 2, Cout)
+
+
+@functools.partial(
+    jax.jit, static_argnames=("want_stats", "interpret", "th")
+)
+def _pallas_conv3x3(
+    x: Array,
+    w: Array,
+    b: Array,
+    pro: Optional[Array],
+    want_stats: bool,
+    th: int,
+    interpret: bool = False,
+):
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    bsz, h, wid, cin = x.shape
+    cout = w.shape[-1]
+    n_i = h // th
+
+    w9 = w.reshape(9, cin, cout)
+    b8 = jnp.zeros((8, cout), jnp.float32).at[0].set(b.astype(jnp.float32))
+    with_pro = pro is not None
+    if with_pro:
+        pro8 = jnp.zeros((bsz, 8, cin), jnp.float32).at[:, :2].set(
+            pro.astype(jnp.float32)
+        )
+    else:
+        pro8 = jnp.zeros((bsz, 8, cin), jnp.float32)
+
+    grid = (bsz, n_i)
+    in_specs = [
+        # full array, stays in HBM: the kernel DMAs its two halo rows
+        pl.BlockSpec(memory_space=pltpu.ANY),
+        pl.BlockSpec((1, th, wid, cin), lambda bi, i: (bi, i, 0, 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((9, cin, cout), lambda bi, i: (0, 0, 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((8, cout), lambda bi, i: (0, 0), memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, 8, cin), lambda bi, i: (bi, 0, 0),
+                     memory_space=pltpu.VMEM),
+    ]
+    out_shape = [jax.ShapeDtypeStruct((bsz, h, wid, cout), x.dtype)]
+    out_specs = [
+        pl.BlockSpec((1, th, wid, cout), lambda bi, i: (bi, i, 0, 0),
+                     memory_space=pltpu.VMEM)
+    ]
+    if want_stats:
+        out_shape.append(jax.ShapeDtypeStruct((bsz, 8, cout), jnp.float32))
+        # constant over i -> the block stays resident and accumulates
+        out_specs.append(
+            pl.BlockSpec((1, 8, cout), lambda bi, i: (bi, 0, 0),
+                         memory_space=pltpu.VMEM)
+        )
+
+    kernel = functools.partial(
+        _kernel,
+        th=th,
+        with_prologue=with_pro,
+        with_stats=want_stats,
+        out_dtype=x.dtype,
+    )
+    if not want_stats:
+        kernel = functools.partial(_no_stats_wrap, kernel)
+
+    flops = 2 * bsz * h * wid * cout * 9 * cin
+    outs = pl.pallas_call(
+        kernel,
+        grid=grid,
+        in_specs=in_specs,
+        out_specs=out_specs if want_stats else out_specs[0],
+        out_shape=out_shape if want_stats else out_shape[0],
+        scratch_shapes=[
+            pltpu.VMEM((2, wid, cin), x.dtype),
+            pltpu.SemaphoreType.DMA((2,)),
+        ],
+        interpret=interpret,
+        cost_estimate=pl.CostEstimate(
+            flops=flops,
+            bytes_accessed=x.size * x.dtype.itemsize * 2,
+            transcendentals=x.size if with_pro else 0,
+        ),
+    )(x, x, w9, b8, pro8)
+    if want_stats:
+        y, s = outs
+        return y, s[:, :2]  # (B, 2, Cout)
+    return outs
+
+
+def _no_stats_wrap(kernel, x_hbm, x_ref, w_ref, b_ref, pro_ref, y_ref, halo, sem):
+    kernel(x_hbm, x_ref, w_ref, b_ref, pro_ref, y_ref, None, halo, sem)
+
+
+def on_tpu() -> bool:
+    try:
+        return jax.default_backend() in ("tpu", "axon")
+    except Exception:
+        return False
+
+
+def supported(x_shape: Tuple[int, ...], w_shape: Tuple[int, ...]) -> bool:
+    """Dispatch heuristic (measured on v5e): the kernel wins at large
+    spatial extents where XLA's conv is im2col-read-bound; below 256²
+    XLA's lowering is already near the floor, and narrow channel counts
+    waste MXU lanes."""
+    if len(x_shape) != 4 or w_shape[:2] != (3, 3):
+        return False
+    import os
+
+    min_pixels = int(os.environ.get("KDT_CONV3X3_MIN_PIXELS", 256 * 256))
+    max_pixels = int(os.environ.get("KDT_CONV3X3_MAX_PIXELS", 1 << 62))
+    _, h, w, cin = x_shape
+    cout = w_shape[-1]
+    return (
+        h * w >= min_pixels
+        and h * w <= max_pixels
+        and cin % _LANE == 0
+        and cout % _LANE == 0
+        and cin <= 512
+        and _pick_th(h, w, cin, cout) is not None
+    )
+
+
+def _dispatch(x, w, b, pro, want_stats, interpret):
+    import os
+
+    # The Pallas kernel beats XLA's conv 1.5-2x in ISOLATION at every hot
+    # shape, but inside the full U-Net it currently loses ~25 ms/step to
+    # XLA whole-model fusion/layout effects (see PERF.md "Fused conv3x3
+    # kernel"). Until that integration cost is solved it is opt-in.
+    if os.environ.get("KDT_CONV3X3", "xla") != "pallas":
+        return xla_conv3x3(x, w, b, pro, want_stats)
+    if interpret is None:
+        if not on_tpu():
+            return xla_conv3x3(x, w, b, pro, want_stats)
+        interpret = False
+    if b is None:
+        b = jnp.zeros((w.shape[-1],), jnp.float32)
+    th = _pick_th(x.shape[1], x.shape[2], x.shape[3], w.shape[-1])
+    return _pallas_conv3x3(x, w, b, pro, want_stats, th, interpret=interpret)
+
+
+# --- public entry points with XLA-recompute gradients ----------------------
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(4,))
+def _conv3x3_vjp(x, w, b, pro, want_stats):
+    return _dispatch(x, w, b, pro, want_stats, None)
+
+
+def _fwd(x, w, b, pro, want_stats):
+    return _dispatch(x, w, b, pro, want_stats, None), (x, w, b, pro)
+
+
+def _bwd(want_stats, res, g):
+    x, w, b, pro = res
+    diff = [x, w] + ([b] if b is not None else []) + ([pro] if pro is not None else [])
+
+    def ref(*args):
+        it = iter(args)
+        xx, ww = next(it), next(it)
+        bb = next(it) if b is not None else None
+        pp = next(it) if pro is not None else None
+        return xla_conv3x3(xx, ww, bb, pp, want_stats)
+
+    _, vjp = jax.vjp(ref, *diff)
+    grads = list(vjp(g))
+    gx, gw = grads[0], grads[1]
+    k = 2
+    gb = grads[k] if b is not None else None
+    k += 1 if b is not None else 0
+    gp = grads[k] if pro is not None else None
+    return gx, gw, gb, gp
+
+
+_conv3x3_vjp.defvjp(_fwd, _bwd)
+
+
+def conv3x3(
+    x: Array,
+    w: Array,
+    b: Optional[Array] = None,
+    *,
+    pro: Optional[Array] = None,
+    want_stats: bool = False,
+    force_xla: bool = False,
+    interpret: Optional[bool] = None,
+):
+    """3x3 SAME conv over NHWC with optional fused affine+SiLU prologue
+    (`pro`: (B, 2, Cin) = [a; c] applied as silu(x*a + c)) and per-channel
+    sum/sumsq stats of the output (`want_stats` -> extra (B, 2, Cout)).
+
+    Dispatches to the Pallas row-tiled kernel on TPU for supported
+    shapes; XLA elsewhere. `interpret=True` forces the Pallas
+    interpreter (kernel tests)."""
+    if interpret is not None:
+        if b is None:
+            b = jnp.zeros((w.shape[-1],), jnp.float32)
+        th = _pick_th(x.shape[1], x.shape[2], x.shape[3], w.shape[-1])
+        return _pallas_conv3x3(x, w, b, pro, want_stats, th, interpret=interpret)
+    if force_xla or not supported(x.shape, w.shape):
+        return xla_conv3x3(x, w, b, pro, want_stats)
+    return _conv3x3_vjp(x, w, b, pro, want_stats)

@@ -39,6 +39,82 @@ class SinusoidalPosEmb(nn.Module):
         return jnp.concatenate([jnp.sin(args), jnp.cos(args)], axis=-1)
 
 
+class Conv3x3(nn.Module):
+    """Param-compatible replacement for `nn.Conv(features, (3, 3))`
+    (same param names/shapes/inits) that computes through
+    kernels.conv3x3 — the Pallas row-tiled kernel on TPU for the
+    super-res hot shapes, XLA elsewhere. Supports the kernel's fused
+    affine+SiLU prologue and GroupNorm-stats epilogue."""
+
+    features: int
+    dtype: jnp.dtype = jnp.bfloat16
+
+    @nn.compact
+    def __call__(self, x: Array, pro: Optional[Array] = None, want_stats: bool = False):
+        from ..kernels.conv3x3 import conv3x3
+
+        kernel = self.param(
+            "kernel",
+            nn.initializers.lecun_normal(),
+            (3, 3, x.shape[-1], self.features),
+        )
+        bias = self.param("bias", nn.initializers.zeros, (self.features,))
+        return conv3x3(
+            x.astype(self.dtype),
+            kernel.astype(self.dtype),
+            bias,
+            pro=pro,
+            want_stats=want_stats,
+        )
+
+
+class GroupNormParams(nn.Module):
+    """Owns `nn.GroupNorm`-compatible params (scale/bias); the normalize
+    itself happens in `gn_film_affine` / fused into the next conv."""
+
+    @nn.compact
+    def __call__(self, c: int):
+        scale = self.param("scale", nn.initializers.ones, (c,))
+        bias = self.param("bias", nn.initializers.zeros, (c,))
+        return scale, bias
+
+
+def gn_film_affine(
+    stats: Array,
+    npix: int,
+    gamma: Array,
+    beta: Array,
+    scale_shift=None,
+    groups: int = 8,
+    eps: float = 1e-6,
+) -> Array:
+    """Fold GroupNorm-apply (+ optional FiLM) into a per-(batch, channel)
+    affine: silu(y*A + C) == silu(FiLM(GN(y))). `stats` is the conv
+    kernel's (B, 2, C) per-channel sum/sumsq over npix pixels."""
+    b, _, c = stats.shape
+    cpg = c // groups
+    n = npix * cpg
+    s = stats.reshape(b, 2, groups, cpg).sum(-1)  # (B, 2, G)
+    mu = s[:, 0] / n
+    var = s[:, 1] / n - mu * mu
+    rstd = jax.lax.rsqrt(jnp.maximum(var, 0.0) + eps)  # (B, G)
+
+    def per_channel(g):  # (B, G) -> (B, C)
+        return jnp.broadcast_to(g[:, :, None], (b, groups, cpg)).reshape(b, c)
+
+    mu_c, rstd_c = per_channel(mu), per_channel(rstd)
+    gamma = gamma.astype(jnp.float32)[None, :]
+    beta = beta.astype(jnp.float32)[None, :]
+    a = gamma * rstd_c
+    cc = beta - mu_c * rstd_c * gamma
+    if scale_shift is not None:
+        scale, shift = scale_shift
+        scale = scale.astype(jnp.float32) + 1.0
+        a = a * scale
+        cc = cc * scale + shift.astype(jnp.float32)
+    return jnp.stack([a, cc], axis=1)  # (B, 2, C)
+
+
 class Downsample(nn.Module):
     """2x downsample: space-to-depth + 1x1 conv (MXU-friendly)."""
 
@@ -65,33 +141,51 @@ class Upsample(nn.Module):
         # nearest x2 as broadcast+reshape (fuses; avoids gather-based repeat)
         x = jnp.broadcast_to(x[:, :, None, :, None, :], (b, h, 2, w, 2, c))
         x = x.reshape(b, h * 2, w * 2, c)
-        return nn.Conv(self.dim_out, (3, 3), dtype=self.dtype, name="proj")(x)
+        return Conv3x3(self.dim_out, self.dtype, name="proj")(x)
 
 
 class Block(nn.Module):
-    """3x3 conv -> GroupNorm -> (FiLM scale/shift) -> SiLU."""
+    """3x3 conv -> GroupNorm -> (FiLM scale/shift) -> SiLU.
+
+    The GroupNorm is computed from the conv kernel's fused sum/sumsq
+    epilogue and folded (with FiLM) to a per-(batch, channel) affine.
+    With `defer=True` the affine is returned instead of applied, so the
+    caller can fuse it into the NEXT conv's prologue (the normalized map
+    never round-trips through HBM). `pro` is such a deferred affine for
+    THIS block's conv input."""
 
     dim_out: int
     groups: int = 8
     dtype: jnp.dtype = jnp.bfloat16
 
     @nn.compact
-    def __call__(self, x: Array, scale_shift=None) -> Array:
-        x = nn.Conv(self.dim_out, (3, 3), dtype=self.dtype, name="conv")(x)
-        # norm statistics are computed in fp32 internally (flax) while
-        # activations stay in compute dtype — avoids an fp32 HBM round
-        # trip per block (the 1024² stage is bandwidth-bound)
-        x = nn.GroupNorm(num_groups=self.groups, dtype=self.dtype, name="norm")(x)
-        if scale_shift is not None:
-            scale, shift = scale_shift
-            x = x * (scale[:, None, None, :].astype(x.dtype) + 1.0) + shift[
-                :, None, None, :
-            ].astype(x.dtype)
-        return nn.silu(x)
+    def __call__(
+        self,
+        x: Array,
+        scale_shift=None,
+        *,
+        pro: Optional[Array] = None,
+        defer: bool = False,
+    ):
+        y, stats = Conv3x3(self.dim_out, self.dtype, name="conv")(
+            x, pro=pro, want_stats=True
+        )
+        gamma, beta = GroupNormParams(name="norm")(self.dim_out)
+        affine = gn_film_affine(
+            stats, y.shape[1] * y.shape[2], gamma, beta, scale_shift, self.groups
+        )
+        if defer:
+            return y, affine
+        a = affine[:, 0][:, None, None, :]
+        c = affine[:, 1][:, None, None, :]
+        return nn.silu(y.astype(jnp.float32) * a + c).astype(y.dtype)
 
 
 class ResnetBlock(nn.Module):
-    """Two conv blocks with FiLM time conditioning and a residual path."""
+    """Two conv blocks with FiLM time conditioning and a residual path.
+
+    block1's GroupNorm+FiLM+SiLU is deferred into block2's conv prologue
+    (one fused kernel instead of conv + reduction + elementwise passes)."""
 
     dim_out: int
     groups: int = 8
@@ -105,8 +199,10 @@ class ResnetBlock(nn.Module):
             emb = nn.Dense(self.dim_out * 2, dtype=jnp.float32, name="time_proj")(emb)
             scale_shift = jnp.split(emb, 2, axis=-1)
 
-        h = Block(self.dim_out, self.groups, self.dtype, name="block1")(x, scale_shift)
-        h = Block(self.dim_out, self.groups, self.dtype, name="block2")(h)
+        y1, pro1 = Block(self.dim_out, self.groups, self.dtype, name="block1")(
+            x, scale_shift, defer=True
+        )
+        h = Block(self.dim_out, self.groups, self.dtype, name="block2")(y1, pro=pro1)
 
         if x.shape[-1] != self.dim_out:
             x = nn.Conv(self.dim_out, (1, 1), dtype=self.dtype, name="res_proj")(x)

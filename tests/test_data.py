@@ -1,5 +1,6 @@
 import numpy as np
 import pytest
+import time
 
 from kidney_diffusion_tpu.data import (
     ArraySlide,
@@ -304,3 +305,65 @@ def test_kumar_dataset_fixture(tmp_path):
     p1, _, l1 = ds[1]
     np.testing.assert_array_equal(p1, flip_rotate(p0, 1))
     np.testing.assert_array_equal(l1, flip_rotate(l0, 1))
+
+
+# --- loader failure propagation & lifecycle (data/pipeline.py) --------------
+
+
+class _ExplodingDataset:
+    def __init__(self, n=64, fail_at=5):
+        self.n = n
+        self.fail_at = fail_at
+
+    def __len__(self):
+        return self.n
+
+    def __getitem__(self, i):
+        if int(i) == self.fail_at:
+            raise ValueError("corrupt record")
+        return np.zeros((4, 4, 3), np.float32)
+
+
+def test_loader_propagates_worker_exception():
+    import threading
+
+    before = threading.active_count()
+    ds = _ExplodingDataset(n=8, fail_at=3)
+    loader = make_loader(ds, batch_size=8, shuffle=False, num_workers=2, prefetch=1)
+    with pytest.raises(RuntimeError, match="dataset worker failed") as ei:
+        for _ in range(4):
+            next(loader)
+    assert isinstance(ei.value.__cause__, ValueError)
+    # producer thread and pool must be torn down (no leak between trainers)
+    deadline = time.time() + 5
+    while threading.active_count() > before and time.time() < deadline:
+        time.sleep(0.05)
+    assert not loader._thread.is_alive()
+
+
+def test_loader_close_stops_thread():
+    ds = _ExplodingDataset(n=64, fail_at=-1)  # never fails
+    loader = make_loader(ds, batch_size=4, num_workers=2, prefetch=2)
+    batch = next(loader)
+    assert batch["images"].shape == (4, 4, 4, 3)
+    loader.close()
+    deadline = time.time() + 5
+    while loader._thread.is_alive() and time.time() < deadline:
+        time.sleep(0.05)
+    assert not loader._thread.is_alive()
+    with pytest.raises(StopIteration):
+        next(loader)
+
+
+def test_train_valid_split_disjoint():
+    from kidney_diffusion_tpu.data.pipeline import train_valid_split
+
+    ds = _ExplodingDataset(n=100, fail_at=-1)
+    train, valid = train_valid_split(ds, valid_fraction=0.1, seed=3)
+    assert len(train) == 90 and len(valid) == 10
+    ti, vi = set(train.indices.tolist()), set(valid.indices.tolist())
+    assert ti.isdisjoint(vi)
+    assert ti | vi == set(range(100))
+    # deterministic across constructions
+    train2, _ = train_valid_split(ds, valid_fraction=0.1, seed=3)
+    assert np.array_equal(train.indices, train2.indices)

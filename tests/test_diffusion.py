@@ -141,3 +141,48 @@ def test_ddim_inpaint_keeps_known_pixels():
     out = np.asarray(out)
     np.testing.assert_allclose(out[:, :4, :, :], -0.75, atol=1e-6)
     np.testing.assert_allclose(out[:, 4:, :, :], 0.25, atol=0.1)
+
+
+def test_ddim_eta_stochasticity():
+    """eta=0 is deterministic DDIM; eta>0 injects noise (Song et al.
+    2020 eq. 16) — exposes /root/repo's serving-surface `ddim_eta`."""
+    gd = GaussianDiffusion(num_timesteps=64)
+    target = jnp.full((1, 8, 8, 3), 0.25)
+    denoiser = _oracle_denoiser(gd, target)
+
+    def run(eta, seed):
+        return ddim_sample_loop(
+            gd,
+            denoiser,
+            (2, 8, 8, 3),
+            jax.random.PRNGKey(seed),
+            objective="noise",
+            num_steps=16,
+            eta=eta,
+        )
+
+    # same key, eta=0 -> bitwise deterministic
+    np.testing.assert_array_equal(np.asarray(run(0.0, 0)), np.asarray(run(0.0, 0)))
+    # eta>0 with same key differs from eta=0 (extra noise path)
+    a, b = np.asarray(run(0.0, 0)), np.asarray(run(1.0, 0))
+    assert np.max(np.abs(a - b)) > 1e-4
+    # and still converges to the oracle target
+    np.testing.assert_allclose(b, 0.25, atol=0.07)
+
+
+def test_cascade_sample_stage_exposes_ddim_eta():
+    from kidney_diffusion_tpu.cascade import Cascade
+    from kidney_diffusion_tpu.models.configs import tiny_test_cascade
+
+    cascade = Cascade(tiny_test_cascade(num_stages=1, image_sizes=(16,)))
+    params = cascade.init_stage_params(jax.random.PRNGKey(0), 1)
+
+    def run(eta):
+        return cascade.sample_stage(
+            params, 1, jax.random.PRNGKey(7), batch_size=2,
+            use_ddim=True, ddim_steps=4, ddim_eta=eta,
+        )
+
+    a0, a0b, a1 = np.asarray(run(0.0)), np.asarray(run(0.0)), np.asarray(run(0.7))
+    np.testing.assert_array_equal(a0, a0b)
+    assert np.max(np.abs(a0 - a1)) > 1e-5

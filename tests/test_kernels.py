@@ -51,3 +51,117 @@ def test_bf16_inputs():
     np.testing.assert_allclose(
         np.asarray(got, np.float32), np.asarray(ref, np.float32), atol=3e-2
     )
+
+
+# --- fused 3x3 conv (kernels/conv3x3.py) -----------------------------------
+
+from kidney_diffusion_tpu.kernels import conv3x3 as c3
+
+
+def _conv_inputs(b=1, h=16, w=256, cin=128, cout=128, seed=0):
+    rng = np.random.default_rng(seed)
+    x = jnp.asarray(rng.normal(size=(b, h, w, cin)), jnp.float32)
+    wk = jnp.asarray(rng.normal(size=(3, 3, cin, cout)) * 0.05, jnp.float32)
+    bias = jnp.asarray(rng.normal(size=(cout,)), jnp.float32)
+    return x, wk, bias
+
+
+def test_conv3x3_matches_xla():
+    x, w, b = _conv_inputs()
+    ref = c3.xla_conv3x3(x, w, b)
+    got = c3.conv3x3(x, w, b, interpret=True)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref), atol=1e-3)
+
+
+def test_conv3x3_matches_flax_conv():
+    from flax import linen as nn
+
+    x, w, b = _conv_inputs(b=2, h=8, w=256)
+    conv = nn.Conv(128, (3, 3))
+    ref = conv.apply({"params": {"kernel": w, "bias": b}}, x)
+    got = c3.conv3x3(x, w, b, interpret=True)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref), atol=1e-3)
+
+
+def test_conv3x3_prologue_and_stats():
+    x, w, b = _conv_inputs(b=2, h=8, w=256)
+    rng = np.random.default_rng(1)
+    pro = jnp.asarray(rng.normal(size=(2, 2, 128)), jnp.float32)
+    ry, rs = c3.xla_conv3x3(x, w, b, pro, want_stats=True)
+    gy, gs = c3.conv3x3(x, w, b, pro=pro, want_stats=True, interpret=True)
+    np.testing.assert_allclose(np.asarray(gy), np.asarray(ry), atol=1e-3)
+    rel = np.max(np.abs(np.asarray(gs) - np.asarray(rs))) / (
+        np.max(np.abs(np.asarray(rs))) + 1e-9
+    )
+    assert rel < 1e-5, rel
+
+
+def test_conv3x3_boundary_rows_zero_padded():
+    # single-row tiles exercise every halo/clamp branch
+    x, w, b = _conv_inputs(b=1, h=4, w=512, cin=128, cout=128)
+    ref = c3.xla_conv3x3(x, w, b)
+    got = c3.conv3x3(x, w, b, interpret=True)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref), atol=1e-3)
+
+
+def test_conv3x3_gradients_match_xla():
+    x, w, b = _conv_inputs(b=1, h=8, w=128, cin=128, cout=128)
+    pro = jnp.asarray(np.random.default_rng(2).normal(size=(1, 2, 128)), jnp.float32)
+
+    def loss_fused(x, w, b, pro):
+        y, s = c3.conv3x3(x, w, b, pro=pro, want_stats=True)
+        return jnp.sum(y**2) + jnp.sum(s**2) * 1e-6
+
+    def loss_ref(x, w, b, pro):
+        y, s = c3.xla_conv3x3(x, w, b, pro, want_stats=True)
+        return jnp.sum(y**2) + jnp.sum(s**2) * 1e-6
+
+    g1 = jax.grad(loss_fused, argnums=(0, 1, 2, 3))(x, w, b, pro)
+    g2 = jax.grad(loss_ref, argnums=(0, 1, 2, 3))(x, w, b, pro)
+    for a, r in zip(g1, g2):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(r), rtol=1e-4, atol=1e-4)
+
+
+def test_conv3x3_dispatch_gating():
+    # small maps and narrow channels fall back to XLA
+    assert not c3.supported((1, 64, 64, 128), (3, 3, 128, 128))
+    assert not c3.supported((1, 512, 512, 96), (3, 3, 96, 128))
+    assert not c3.supported((1, 128, 128, 1024), (3, 3, 1024, 1024))
+    assert c3.supported((1, 1024, 1024, 128), (3, 3, 128, 128))
+    assert c3.supported((1, 512, 512, 256), (3, 3, 256, 128))
+
+
+def test_fused_block_matches_unfused_semantics():
+    """ResnetBlock's deferred-GN path == explicit conv->GN->FiLM->SiLU."""
+    from flax import linen as nn
+
+    from kidney_diffusion_tpu.models.blocks import ResnetBlock
+
+    rng = np.random.default_rng(3)
+    x = jnp.asarray(rng.normal(size=(2, 16, 16, 32)), jnp.float32)
+    temb = jnp.asarray(rng.normal(size=(2, 64)), jnp.float32)
+    rb = ResnetBlock(32, groups=8, dtype=jnp.float32)
+    params = rb.init(jax.random.PRNGKey(0), x, temb)
+    out = rb.apply(params, x, temb)
+
+    # reference semantics from the same params
+    p = params["params"]
+    emb = nn.silu(temb)
+    emb = emb @ p["time_proj"]["kernel"] + p["time_proj"]["bias"]
+    scale, shift = np.split(np.asarray(emb), 2, axis=-1)
+
+    def block(x, bp, scale_shift=None):
+        conv = nn.Conv(32, (3, 3))
+        y = conv.apply({"params": bp["conv"]}, x)
+        gn = nn.GroupNorm(num_groups=8)
+        y = gn.apply({"params": bp["norm"]}, y)
+        if scale_shift is not None:
+            y = y * (scale_shift[0][:, None, None, :] + 1.0) + scale_shift[1][
+                :, None, None, :
+            ]
+        return nn.silu(y)
+
+    h = block(x, p["block1"], (jnp.asarray(scale), jnp.asarray(shift)))
+    h = block(h, p["block2"])
+    ref = h + x
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=2e-4)
