@@ -15,7 +15,12 @@ from ..data.kumar import KumarDataset
 from ..data.pipeline import train_valid_split
 from ..models.configs import kumar
 from ..train import Trainer
-from .train_loop import default_sample_fn, run_training
+from .train_loop import (
+    add_distributed_args,
+    default_sample_fn,
+    run_training,
+    setup_distributed,
+)
 
 
 def parse_args():
@@ -32,16 +37,24 @@ def parse_args():
     p.add_argument("--run_id", type=str, default=None)
     p.add_argument("--num_workers", type=int, default=8)
     p.add_argument("--no_wandb", action="store_true")
+    add_distributed_args(p)
     return p.parse_args()
 
 
 def main():
     args = parse_args()
+    multihost = setup_distributed(args)
     chunks = max(args.batch_size // args.max_batch_size, 1)
+    mesh = None
+    if multihost:
+        from ..parallel.mesh import make_mesh
+
+        mesh = make_mesh()
     trainer = Trainer(
         Cascade(kumar()),
         only_train_unet_number=args.unet_number,
         grad_accum_chunks=chunks,
+        mesh=mesh,
     )
 
     dataset = KumarDataset(args.data_path)
@@ -50,11 +63,11 @@ def main():
     train_ds, valid_ds = train_valid_split(dataset, 0.1)
     trainer.add_train_dataset(
         train_ds, batch_size=args.batch_size, num_workers=args.num_workers,
-        keywords=keywords,
+        keywords=keywords, shard_by_process=multihost,
     )
     trainer.add_valid_dataset(
         valid_ds, batch_size=args.batch_size, num_workers=args.num_workers,
-        keywords=keywords,
+        keywords=keywords, shard_by_process=multihost,
     )
 
     run_training(

@@ -13,6 +13,7 @@ infinite (or step-bounded) loop of train steps with
 
 from __future__ import annotations
 
+import glob
 import os
 from typing import Callable, Optional
 
@@ -20,6 +21,33 @@ import numpy as np
 
 from ..train import Trainer
 from ..utils.logging import MetricsLogger, generate_run_id, save_image
+
+
+def add_distributed_args(p) -> None:
+    """--multihost flags shared by every train CLI. Replaces the
+    reference's `accelerate launch` topology (train.py:124-128): one
+    process per host, global-semantics jit across all."""
+    p.add_argument("--multihost", action="store_true",
+                   help="initialise jax.distributed (one process per host)")
+    p.add_argument("--coordinator_address", type=str, default=None)
+    p.add_argument("--num_processes", type=int, default=None)
+    p.add_argument("--process_id", type=int, default=None)
+
+
+def setup_distributed(args) -> bool:
+    """Initialise multi-host JAX when --multihost is given. Returns True
+    iff running multi-host; callers then build a global mesh and turn on
+    per-process data sharding."""
+    if not getattr(args, "multihost", False):
+        return False
+    from ..parallel.mesh import initialize_distributed
+
+    initialize_distributed(
+        coordinator_address=args.coordinator_address,
+        num_processes=args.num_processes,
+        process_id=args.process_id,
+    )
+    return True
 
 
 def run_training(
@@ -74,6 +102,10 @@ def run_training(
             if sample_fn is not None:
                 try:
                     sample_fn(trainer, step, out_dir)
+                    # Log this cadence's sample images (reference logs
+                    # them to wandb, train.py:240-242).
+                    for p in sorted(glob.glob(os.path.join(out_dir, f"*-{step}-*.png"))):
+                        logger.log_image(step, os.path.basename(p), path=p)
                 except Exception as e:  # sampling must never kill training
                     trainer.print(f"sampling failed: {e}")
             trainer.save(checkpoint_path)

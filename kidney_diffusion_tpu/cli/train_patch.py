@@ -18,7 +18,12 @@ from ..data.pipeline import train_valid_split
 from ..models.configs import patch_conditioned, patch_unconditional
 from ..train import Trainer
 from .data_setup import load_patient_environment
-from .train_loop import default_sample_fn, run_training
+from .train_loop import (
+    add_distributed_args,
+    default_sample_fn,
+    run_training,
+    setup_distributed,
+)
 
 SPLIT_VALID_FRACTION = 0.025  # reference train.py:25
 
@@ -39,17 +44,25 @@ def parse_args():
     p.add_argument("--run_id", type=str, default=None)
     p.add_argument("--num_workers", type=int, default=8)
     p.add_argument("--no_wandb", action="store_true")
+    add_distributed_args(p)
     return p.parse_args()
 
 
 def main():
     args = parse_args()
+    multihost = setup_distributed(args)
 
     config = patch_unconditional() if args.unconditional else patch_conditioned()
+    mesh = None
+    if multihost:
+        from ..parallel.mesh import make_mesh
+
+        mesh = make_mesh()
     trainer = Trainer(
         Cascade(config),
         only_train_unet_number=args.unet_number,
         max_grad_norm=1.0,
+        mesh=mesh,
     )
 
     slides, metadata, annotations = load_patient_environment(args.data_path)
@@ -76,11 +89,11 @@ def main():
     )
     trainer.add_train_dataset(
         train_ds, batch_size=args.batch_size, num_workers=args.num_workers,
-        keywords=keywords,
+        keywords=keywords, shard_by_process=multihost,
     )
     trainer.add_valid_dataset(
         valid_ds, batch_size=args.batch_size, num_workers=args.num_workers,
-        keywords=keywords,
+        keywords=keywords, shard_by_process=multihost,
     )
 
     checkpoint = {

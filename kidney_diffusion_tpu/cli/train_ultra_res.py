@@ -20,7 +20,12 @@ from ..data.airs import AirsDataset
 from ..models.configs import ultra_res
 from ..train import Trainer
 from .data_setup import load_patient_environment
-from .train_loop import default_sample_fn, run_training
+from .train_loop import (
+    add_distributed_args,
+    default_sample_fn,
+    run_training,
+    setup_distributed,
+)
 
 
 def parse_args():
@@ -39,19 +44,27 @@ def parse_args():
     p.add_argument("--run_id", type=str, default=None)
     p.add_argument("--num_workers", type=int, default=8)
     p.add_argument("--no_wandb", action="store_true")
+    add_distributed_args(p)
     return p.parse_args()
 
 
 def main():
     args = parse_args()
     mag = args.magnification_level
+    multihost = setup_distributed(args)
 
     config = ultra_res(mag, args.version)
+    mesh = None
+    if multihost:
+        from ..parallel.mesh import make_mesh
+
+        mesh = make_mesh()
     trainer = Trainer(
         Cascade(config),
         only_train_unet_number=args.unet_number,
         # fp32-gradient clipping "to avoid nan" (train_ultra_res.py:112-114)
         max_grad_norm=1.0,
+        mesh=mesh,
     )
 
     if args.version == "airs":
@@ -70,11 +83,11 @@ def main():
     train_ds, valid_ds = train_valid_split(dataset, 0.1)
     trainer.add_train_dataset(
         train_ds, batch_size=args.batch_size, num_workers=args.num_workers,
-        keywords=keywords,
+        keywords=keywords, shard_by_process=multihost,
     )
     trainer.add_valid_dataset(
         valid_ds, batch_size=args.batch_size, num_workers=args.num_workers,
-        keywords=keywords,
+        keywords=keywords, shard_by_process=multihost,
     )
 
     checkpoint = args.checkpoint or f"./ckpt_mag{mag}_unet{args.unet_number}"

@@ -27,11 +27,31 @@ from .. import __version__
 
 _META_NAME = "kdt_meta.json"
 
+# URI-prefix -> replacement rewrites applied before epath resolution.
+# Lets a bucket URI be mounted onto a local directory (air-gapped runs,
+# tests exercising the remote-URI code path without network).
+_SCHEME_MOUNTS: dict = {}
+
+
+def mount_uri_prefix(prefix: str, target: str) -> None:
+    """Route every path under `prefix` (e.g. 'gs://my-bucket') to
+    `target` (a local directory or another URI)."""
+    _SCHEME_MOUNTS[prefix.rstrip("/")] = target.rstrip("/")
+
+
+def unmount_uri_prefix(prefix: str) -> None:
+    _SCHEME_MOUNTS.pop(prefix.rstrip("/"), None)
+
 
 def _path(path: str) -> epath.Path:
     """Local paths are absolutized (tensorstore requires it); remote URIs
-    (gs://, s3://, ...) pass through."""
+    (gs://, s3://, ...) pass through epath, after any registered mount
+    rewrites."""
     s = str(path)
+    for prefix, target in _SCHEME_MOUNTS.items():
+        if s == prefix or s.startswith(prefix + "/"):
+            s = target + s[len(prefix):]
+            break
     if "://" not in s:
         import os
 

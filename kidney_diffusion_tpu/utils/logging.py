@@ -54,9 +54,19 @@ class MetricsLogger:
         self._file.write(json.dumps({"step": step, "ts": time.time(), **metrics}) + "\n")
         self._file.flush()
 
-    def log_image(self, step: int, name: str, image) -> None:
+    def log_image(self, step: int, name: str, image=None, path: Optional[str] = None) -> None:
+        """Record a sample image (reference: wandb.Image logging at the
+        sample cadence, /root/reference/train.py:240-242). Logged to
+        wandb when available; always recorded in the JSONL stream (by
+        path, not pixels) so headless runs keep an auditable trail."""
         if self._wandb is not None:
-            self._wandb.log({name: self._wandb.Image(image), "step": step})
+            payload = image if image is not None else path
+            self._wandb.log({name: self._wandb.Image(payload), "step": step})
+        rec = {"step": step, "ts": time.time(), "image": name}
+        if path is not None:
+            rec["path"] = path
+        self._file.write(json.dumps(rec) + "\n")
+        self._file.flush()
 
     def close(self):
         self._file.close()
