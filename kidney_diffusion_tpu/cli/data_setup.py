@@ -16,7 +16,7 @@ from glob import glob
 from typing import Dict, Tuple
 
 from ..data.patient import AnnotationStore, PatientMetadata
-from ..data.wsi import Slide, SlideioSlide
+from ..data.wsi import Slide, open_slide
 
 
 def load_patient_environment(
@@ -44,7 +44,7 @@ def load_patient_environment(
 
     metadata = PatientMetadata.from_dataframes(outcomes, creatinine)
     slides = {
-        sid: SlideioSlide(os.path.join(data_path, "svs", sid + ".svs"))
+        sid: open_slide(os.path.join(data_path, "svs", sid + ".svs"))
         for sid in outcomes["slide_UUID"]
     }
     annotations = AnnotationStore(os.path.join(data_path, "results.h5"))

@@ -81,6 +81,45 @@ class SlideioSlide:
         return self._scene.read_block((x, y, w, h), size=(out_w, out_h))
 
 
+class PILSlide:
+    """Last-resort backend: decode the whole level-0 image once with PIL
+    and serve regions from RAM. Only viable for small slides/fixtures —
+    the native reader is the production path for gigapixel SVS."""
+
+    def __init__(self, path: str):
+        from PIL import Image
+
+        Image.MAX_IMAGE_PIXELS = None
+        with Image.open(path) as im:
+            self._slide = ArraySlide(np.asarray(im.convert("RGB")))
+
+    @property
+    def size(self) -> Tuple[int, int]:
+        return self._slide.size
+
+    def read_region(self, x, y, w, h, out_w, out_h) -> np.ndarray:
+        return self._slide.read_region(x, y, w, h, out_w, out_h)
+
+
+def open_slide(path: str) -> "Slide":
+    """Open an SVS/TIFF slide with the best available backend:
+    the C++ tiled-TIFF reader (native/kdt_native.cpp) when built,
+    slideio when installed, whole-image PIL decode as a last resort.
+    Replaces the reference's unconditional slideio dependency
+    (/root/reference/patient_dataset.py:118)."""
+    from . import native
+
+    if native.available():
+        try:
+            return native.NativeSlide(path)
+        except IOError:
+            pass  # not a TIFF container (or unreadable) — try the others
+    try:
+        return SlideioSlide(path)
+    except ImportError:
+        return PILSlide(path)
+
+
 def resize_nearest(img: np.ndarray, out_w: int, out_h: int) -> np.ndarray:
     """Nearest-neighbour resize without external deps (host-side only;
     heavy resampling belongs on-device or in the native reader)."""
