@@ -116,21 +116,33 @@ def gn_film_affine(
 
 
 class Downsample(nn.Module):
-    """2x downsample: space-to-depth + 1x1 conv (MXU-friendly)."""
+    """2x downsample: 2x2 stride-2 conv.
+
+    Mathematically identical to space-to-depth + 1x1 conv (the kernel is
+    the same weights indexed (dy, dx, c) instead of (1, 1, 4c)), but
+    XLA:TPU lowers the strided conv natively without materialising the
+    s2d transpose — measured 1.1 ms faster at 1024²x128."""
 
     dim_out: int
     dtype: jnp.dtype = jnp.bfloat16
 
     @nn.compact
     def __call__(self, x: Array) -> Array:
-        b, h, w, c = x.shape
-        x = x.reshape(b, h // 2, 2, w // 2, 2, c)
-        x = x.transpose(0, 1, 3, 2, 4, 5).reshape(b, h // 2, w // 2, 4 * c)
-        return nn.Conv(self.dim_out, (1, 1), dtype=self.dtype, name="proj")(x)
+        return nn.Conv(
+            self.dim_out, (2, 2), strides=(2, 2), padding="VALID",
+            dtype=self.dtype, name="proj",
+        )(x)
 
 
 class Upsample(nn.Module):
-    """2x upsample: nearest-neighbour + 3x3 conv."""
+    """2x upsample: nearest-neighbour + 3x3 conv.
+
+    The broadcast+reshape nearest-neighbour fuses into the conv's input
+    inside the whole-model XLA program. A mathematically-exact subpixel
+    rewrite (per-phase 2x2 convs at low res, 2.25x fewer FLOPs) wins
+    3.5 ms in isolation at 512->1024x128 but LOSES ~6 ms in-model — the
+    phase interleave materialises what the broadcast form never does
+    (measured both ways, PERF.md round-2 notes)."""
 
     dim_out: int
     dtype: jnp.dtype = jnp.bfloat16

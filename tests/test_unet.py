@@ -178,3 +178,26 @@ def test_remat_matches_plain():
     g_r = jax.grad(lambda p: jnp.mean(model_r.apply(p, x, t) ** 2))(params)
     for a, b in zip(jax.tree.leaves(g_p), jax.tree.leaves(g_r)):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-6)
+
+
+def test_downsample_strided_equals_s2d_matmul():
+    """Downsample's 2x2 stride-2 conv must equal space-to-depth + 1x1
+    conv with the kernel reshaped (2,2,C,D) <-> (1,1,4C,D)."""
+    import jax
+    import jax.numpy as jnp
+
+    from kidney_diffusion_tpu.models.blocks import Downsample
+
+    rng = np.random.RandomState(0)
+    x = jnp.asarray(rng.randn(2, 8, 10, 5).astype(np.float32))
+    mod = Downsample(7, jnp.float32)
+    k = jnp.asarray(rng.randn(2, 2, 5, 7).astype(np.float32))
+    b = jnp.asarray(rng.randn(7).astype(np.float32))
+    got = mod.apply({"params": {"proj": {"kernel": k, "bias": b}}}, x)
+
+    s2d = x.reshape(2, 4, 2, 5, 2, 5).transpose(0, 1, 3, 2, 4, 5).reshape(2, 4, 5, 20)
+    want = jax.lax.conv_general_dilated(
+        s2d, k.reshape(1, 1, 20, 7), (1, 1), "VALID",
+        dimension_numbers=("NHWC", "HWIO", "NHWC"),
+    ) + b
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=1e-4)
