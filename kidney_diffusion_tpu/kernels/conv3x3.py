@@ -185,28 +185,65 @@ def _kernel(
         s_ref[0, 1, :] += s2
 
 
+def halo_pad(x: Array, chunks: int) -> Array:
+    """Exchange one halo row between adjacent row-chunks of each image.
+
+    `x` is (B*chunks, rows, W, C) with an image's chunks contiguous and
+    in top-to-bottom order. Returns (B*chunks, rows+2, W, C): each
+    chunk gains its upper neighbour's last row on top and its lower
+    neighbour's first row at the bottom; image borders get zeros (the
+    SAME-conv padding). A 3x3 VALID-H conv on the result is then exactly
+    the SAME conv on the unchunked image — this keeps big spatial convs
+    in a batch-of-chunks form XLA lowers directly, instead of letting
+    its space-to-batch pass materialise per-conv halo copies (PERF.md
+    round-2 analysis)."""
+    bc, rows, w, c = x.shape
+    assert bc % chunks == 0, (bc, chunks)
+    x5 = x.reshape(bc // chunks, chunks, rows, w, c)
+    z = jnp.zeros((bc // chunks, 1, 1, w, c), x.dtype)
+    top = jnp.concatenate([z, x5[:, :-1, -1:]], axis=1)
+    bot = jnp.concatenate([x5[:, 1:, :1], z], axis=1)
+    out = jnp.concatenate([top, x5, bot], axis=2)
+    return out.reshape(bc, rows + 2, w, c)
+
+
 def xla_conv3x3(
     x: Array,
     w: Array,
     b: Optional[Array],
     pro: Optional[Array] = None,
     want_stats: bool = False,
+    chunks: int = 0,
 ):
     """Reference implementation (and gradient path). x: (B, H, W, Cin)
-    NHWC; w: (3, 3, Cin, Cout); pro: (B, 2, Cin) fp32 prologue [a; c]."""
+    NHWC; w: (3, 3, Cin, Cout); pro: (B, 2, Cin) fp32 prologue [a; c].
+    chunks>0: `x` is (B*chunks, rows, W, Cin) row-chunked; the conv runs
+    VALID-H over halo-exchanged chunks (exact SAME-conv semantics) and
+    stats are per-chunk (aggregate with gn_film_affine(chunks=...))."""
     if pro is not None:
         a = pro[:, 0][:, None, None, :]
         c = pro[:, 1][:, None, None, :]
         f = x.astype(jnp.float32) * a + c
         x = jax.nn.silu(f).astype(x.dtype)
-    y = jax.lax.conv_general_dilated(
-        x,
-        w.astype(x.dtype),
-        window_strides=(1, 1),
-        padding="SAME",
-        dimension_numbers=("NHWC", "HWIO", "NHWC"),
-        preferred_element_type=jnp.float32,
-    )
+    if chunks:
+        xh = halo_pad(x, chunks)
+        y = jax.lax.conv_general_dilated(
+            xh,
+            w.astype(x.dtype),
+            window_strides=(1, 1),
+            padding=((0, 0), (1, 1)),
+            dimension_numbers=("NHWC", "HWIO", "NHWC"),
+            preferred_element_type=jnp.float32,
+        )
+    else:
+        y = jax.lax.conv_general_dilated(
+            x,
+            w.astype(x.dtype),
+            window_strides=(1, 1),
+            padding="SAME",
+            dimension_numbers=("NHWC", "HWIO", "NHWC"),
+            preferred_element_type=jnp.float32,
+        )
     if b is not None:
         y = y + b.astype(jnp.float32)[None, None, None, :]
     out = y.astype(x.dtype)
@@ -339,15 +376,21 @@ def supported(x_shape: Tuple[int, ...], w_shape: Tuple[int, ...]) -> bool:
     )
 
 
-def _dispatch(x, w, b, pro, want_stats, interpret):
+def _dispatch(x, w, b, pro, want_stats, chunks, xla_only, interpret):
     import os
 
     # The Pallas kernel beats XLA's conv 1.5-2x in ISOLATION at every hot
     # shape, but inside the full U-Net it currently loses ~25 ms/step to
     # XLA whole-model fusion/layout effects (see PERF.md "Fused conv3x3
     # kernel"). Until that integration cost is solved it is opt-in.
-    if os.environ.get("KDT_CONV3X3", "xla") != "pallas":
-        return xla_conv3x3(x, w, b, pro, want_stats)
+    # Chunked-spatial inputs always take the XLA path (the halo'd VALID
+    # conv lowers natively).
+    if (
+        xla_only
+        or chunks
+        or os.environ.get("KDT_CONV3X3", "xla") != "pallas"
+    ):
+        return xla_conv3x3(x, w, b, pro, want_stats, chunks)
     if interpret is None:
         if not on_tpu():
             return xla_conv3x3(x, w, b, pro, want_stats)
@@ -361,33 +404,44 @@ def _dispatch(x, w, b, pro, want_stats, interpret):
 # --- public entry points with XLA-recompute gradients ----------------------
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(4,))
-def _conv3x3_vjp(x, w, b, pro, want_stats):
-    return _dispatch(x, w, b, pro, want_stats, None)
+@functools.partial(jax.custom_vjp, nondiff_argnums=(4, 5, 6))
+def _conv3x3_vjp(x, w, b, pro, want_stats, chunks, xla_only):
+    return _dispatch(x, w, b, pro, want_stats, chunks, xla_only, None)
 
 
-def _fwd(x, w, b, pro, want_stats):
-    return _dispatch(x, w, b, pro, want_stats, None), (x, w, b, pro)
+def _fwd(x, w, b, pro, want_stats, chunks, xla_only):
+    return _dispatch(x, w, b, pro, want_stats, chunks, xla_only, None), (x, w, b, pro)
 
 
-def _bwd(want_stats, res, g):
+def _bwd(want_stats, chunks, xla_only, res, g):
+    # Differentiate an all-fp32 reference: JAX's conv transpose rejects
+    # the mixed bf16-operand / f32-cotangent pattern that
+    # preferred_element_type creates, and the forward's f32 accumulation
+    # makes the f32-operand gradient exact anyway (casting bf16 operands
+    # up is lossless).
     x, w, b, pro = res
-    diff = [x, w] + ([b] if b is not None else []) + ([pro] if pro is not None else [])
+    diff = [x.astype(jnp.float32), w.astype(jnp.float32)]
+    if b is not None:
+        diff.append(b.astype(jnp.float32))
+    if pro is not None:
+        diff.append(pro.astype(jnp.float32))
 
     def ref(*args):
         it = iter(args)
         xx, ww = next(it), next(it)
         bb = next(it) if b is not None else None
         pp = next(it) if pro is not None else None
-        return xla_conv3x3(xx, ww, bb, pp, want_stats)
+        return xla_conv3x3(xx, ww, bb, pp, want_stats, chunks)
 
     _, vjp = jax.vjp(ref, *diff)
-    grads = list(vjp(g))
-    gx, gw = grads[0], grads[1]
+    g32 = jax.tree.map(lambda t: t.astype(jnp.float32), g)
+    grads = list(vjp(g32))
+    gx = grads[0].astype(x.dtype)
+    gw = grads[1].astype(w.dtype)
     k = 2
-    gb = grads[k] if b is not None else None
+    gb = grads[k].astype(b.dtype) if b is not None else None
     k += 1 if b is not None else 0
-    gp = grads[k] if pro is not None else None
+    gp = grads[k].astype(pro.dtype) if pro is not None else None
     return gx, gw, gb, gp
 
 
@@ -401,12 +455,17 @@ def conv3x3(
     *,
     pro: Optional[Array] = None,
     want_stats: bool = False,
+    chunks: int = 0,
     force_xla: bool = False,
     interpret: Optional[bool] = None,
 ):
     """3x3 SAME conv over NHWC with optional fused affine+SiLU prologue
     (`pro`: (B, 2, Cin) = [a; c] applied as silu(x*a + c)) and per-channel
     sum/sumsq stats of the output (`want_stats` -> extra (B, 2, Cout)).
+
+    chunks>0: row-chunked input (B*chunks, rows, W, Cin) — the conv runs
+    VALID-H over halo-exchanged chunks (exact SAME semantics on the
+    unchunked image); stats come back per-chunk.
 
     Dispatches to the Pallas row-tiled kernel on TPU for supported
     shapes; XLA elsewhere. `interpret=True` forces the Pallas
@@ -416,6 +475,8 @@ def conv3x3(
             b = jnp.zeros((w.shape[-1],), jnp.float32)
         th = _pick_th(x.shape[1], x.shape[2], x.shape[3], w.shape[-1])
         return _pallas_conv3x3(x, w, b, pro, want_stats, th, interpret=interpret)
-    if force_xla or not supported(x.shape, w.shape):
-        return xla_conv3x3(x, w, b, pro, want_stats)
-    return _conv3x3_vjp(x, w, b, pro, want_stats)
+    # everything routes through the custom VJP: the f32-accumulating
+    # forward conv is not differentiable directly with bf16 operands
+    # (JAX's conv transpose rejects the mixed-dtype pattern)
+    xla_only = force_xla or (not chunks and not supported(x.shape, w.shape))
+    return _conv3x3_vjp(x, w, b, pro, want_stats, chunks, xla_only)

@@ -48,6 +48,7 @@ class Conv3x3(nn.Module):
 
     features: int
     dtype: jnp.dtype = jnp.bfloat16
+    chunks: int = 0  # >0: row-chunked input, halo-exchanged VALID conv
 
     @nn.compact
     def __call__(self, x: Array, pro: Optional[Array] = None, want_stats: bool = False):
@@ -65,6 +66,7 @@ class Conv3x3(nn.Module):
             bias,
             pro=pro,
             want_stats=want_stats,
+            chunks=self.chunks,
         )
 
 
@@ -87,10 +89,19 @@ def gn_film_affine(
     scale_shift=None,
     groups: int = 8,
     eps: float = 1e-6,
+    chunks: int = 0,
 ) -> Array:
     """Fold GroupNorm-apply (+ optional FiLM) into a per-(batch, channel)
     affine: silu(y*A + C) == silu(FiLM(GN(y))). `stats` is the conv
-    kernel's (B, 2, C) per-channel sum/sumsq over npix pixels."""
+    kernel's (B, 2, C) per-channel sum/sumsq over npix pixels.
+
+    chunks>0: stats are per-row-chunk (B*chunks, 2, C) over npix pixels
+    EACH; they are summed per image (exact GroupNorm over the full map)
+    and the affine is repeated back to (B*chunks, 2, C)."""
+    if chunks:
+        bc = stats.shape[0]
+        stats = stats.reshape(bc // chunks, chunks, 2, -1).sum(1)
+        npix = npix * chunks
     b, _, c = stats.shape
     cpg = c // groups
     n = npix * cpg
@@ -112,7 +123,10 @@ def gn_film_affine(
         scale = scale.astype(jnp.float32) + 1.0
         a = a * scale
         cc = cc * scale + shift.astype(jnp.float32)
-    return jnp.stack([a, cc], axis=1)  # (B, 2, C)
+    out = jnp.stack([a, cc], axis=1)  # (B, 2, C)
+    if chunks:
+        out = jnp.repeat(out, chunks, axis=0)  # back to per-chunk batch
+    return out
 
 
 class Downsample(nn.Module):
@@ -146,14 +160,17 @@ class Upsample(nn.Module):
 
     dim_out: int
     dtype: jnp.dtype = jnp.bfloat16
+    chunks: int = 0
 
     @nn.compact
     def __call__(self, x: Array) -> Array:
         b, h, w, c = x.shape
-        # nearest x2 as broadcast+reshape (fuses; avoids gather-based repeat)
+        # nearest x2 as broadcast+reshape (fuses; avoids gather-based
+        # repeat). Row-chunked inputs upsample chunk-locally (rows are an
+        # exact partition of the image) and convolve with halo exchange.
         x = jnp.broadcast_to(x[:, :, None, :, None, :], (b, h, 2, w, 2, c))
         x = x.reshape(b, h * 2, w * 2, c)
-        return Conv3x3(self.dim_out, self.dtype, name="proj")(x)
+        return Conv3x3(self.dim_out, self.dtype, self.chunks, name="proj")(x)
 
 
 class Block(nn.Module):
@@ -169,6 +186,7 @@ class Block(nn.Module):
     dim_out: int
     groups: int = 8
     dtype: jnp.dtype = jnp.bfloat16
+    chunks: int = 0
 
     @nn.compact
     def __call__(
@@ -179,12 +197,13 @@ class Block(nn.Module):
         pro: Optional[Array] = None,
         defer: bool = False,
     ):
-        y, stats = Conv3x3(self.dim_out, self.dtype, name="conv")(
+        y, stats = Conv3x3(self.dim_out, self.dtype, self.chunks, name="conv")(
             x, pro=pro, want_stats=True
         )
         gamma, beta = GroupNormParams(name="norm")(self.dim_out)
         affine = gn_film_affine(
-            stats, y.shape[1] * y.shape[2], gamma, beta, scale_shift, self.groups
+            stats, y.shape[1] * y.shape[2], gamma, beta, scale_shift,
+            self.groups, chunks=self.chunks,
         )
         if defer:
             return y, affine
@@ -202,19 +221,24 @@ class ResnetBlock(nn.Module):
     dim_out: int
     groups: int = 8
     dtype: jnp.dtype = jnp.bfloat16
+    chunks: int = 0
 
     @nn.compact
     def __call__(self, x: Array, time_emb: Optional[Array] = None) -> Array:
         scale_shift = None
         if time_emb is not None:
+            # per-image conditioning even in chunked form: gn_film_affine
+            # folds it in at the aggregated (per-image) level
             emb = nn.silu(time_emb.astype(jnp.float32))
             emb = nn.Dense(self.dim_out * 2, dtype=jnp.float32, name="time_proj")(emb)
             scale_shift = jnp.split(emb, 2, axis=-1)
 
-        y1, pro1 = Block(self.dim_out, self.groups, self.dtype, name="block1")(
+        y1, pro1 = Block(self.dim_out, self.groups, self.dtype, self.chunks, name="block1")(
             x, scale_shift, defer=True
         )
-        h = Block(self.dim_out, self.groups, self.dtype, name="block2")(y1, pro=pro1)
+        h = Block(self.dim_out, self.groups, self.dtype, self.chunks, name="block2")(
+            y1, pro=pro1
+        )
 
         if x.shape[-1] != self.dim_out:
             x = nn.Conv(self.dim_out, (1, 1), dtype=self.dtype, name="res_proj")(x)

@@ -123,6 +123,10 @@ def _sr1024_unet(
         init_conv_to_final_conv_residual=True,
         cond_images_channels=cond_images_channels,
         lowres_cond=True,
+        # batch-of-row-chunks execution: keeps the big spatial convs out
+        # of XLA's space-to-batch pass (105.7 -> 77.3 ms/fwd at 1024²,
+        # PERF.md round 2); exact same function (tests/test_unet.py)
+        spatial_chunks=8,
     )
 
 

@@ -34,6 +34,7 @@ import jax.numpy as jnp
 from flax import linen as nn
 
 from .blocks import (
+    Conv3x3,
     CrossAttentionBlock,
     Downsample,
     ResnetBlock,
@@ -77,6 +78,11 @@ class UNetConfig:
     remat: bool = False  # rematerialise resblocks (trade FLOPs for HBM
     # during training — lets the 1024² stage train without random crops
     # or at larger batch)
+    spatial_chunks: int = 0  # >0: run the net on row-chunks of the image
+    # (batch-of-chunks layout, explicit one-row halo exchange per conv).
+    # Exact same function; avoids XLA's per-conv space-to-batch copies at
+    # large spatial extents (~15% faster at 1024², PERF.md round 2).
+    # Applied when H is divisible by spatial_chunks * 2**num_levels.
 
     @property
     def num_levels(self) -> int:
@@ -189,8 +195,24 @@ class EfficientUNet(nn.Module):
 
         context = context.astype(dt)
 
+        # ---- spatial chunking (batch-of-row-chunks layout) -----------------
+        ch = cfg.spatial_chunks
+        if ch and (h_in % (ch * 2 ** num_levels) != 0 or h_in // ch < 2):
+            ch = 0  # shape not chunkable (e.g. tiny test inputs)
+        if ch:
+            x = x.reshape(b * ch, h_in // ch, w_in, x.shape[-1])
+
+        def unchunked(y):
+            return y.reshape(b, y.shape[1] * ch, *y.shape[2:]) if ch else y
+
+        def rechunked(y):
+            return y.reshape(b * ch, y.shape[1] // ch, *y.shape[2:]) if ch else y
+
         # ---- init conv -----------------------------------------------------
-        x = nn.Conv(cfg.dim, (3, 3), dtype=dt, name="init_conv")(x)
+        if ch:
+            x = Conv3x3(cfg.dim, dt, ch, name="init_conv")(x)
+        else:
+            x = nn.Conv(cfg.dim, (3, 3), dtype=dt, name="init_conv")(x)
         init_conv_out = x
 
         # ---- down path -------------------------------------------------------
@@ -199,33 +221,33 @@ class EfficientUNet(nn.Module):
             d = dims[i]
             if cfg.memory_efficient:
                 x = Downsample(d, dt, name=f"down{i}_pre")(x)
-            x = ResBlock(d, cfg.groups, dt, name=f"down{i}_block0")(x, t_cond)
+            x = ResBlock(d, cfg.groups, dt, ch, name=f"down{i}_block0")(x, t_cond)
             if cross_per[i]:
-                x = CrossAttentionBlock(
+                x = rechunked(CrossAttentionBlock(
                     cfg.attn_heads, cfg.attn_dim_head, dt, name=f"down{i}_cross"
-                )(x, context)
+                )(unchunked(x), context))
             skips.append(x)
             for j in range(blocks_per[i]):
-                x = ResBlock(d, cfg.groups, dt, name=f"down{i}_block{j + 1}")(x, t_cond)
+                x = ResBlock(d, cfg.groups, dt, ch, name=f"down{i}_block{j + 1}")(x, t_cond)
                 skips.append(x)
             if attns_per[i]:
-                x = TransformerBlock(
+                x = rechunked(TransformerBlock(
                     cfg.attn_heads, cfg.attn_dim_head, cfg.ff_mult, dt, name=f"down{i}_attn"
-                )(x, context)
+                )(unchunked(x), context))
             if not cfg.memory_efficient and i < num_levels - 1:
                 x = Downsample(dims[i + 1], dt, name=f"down{i}_post")(x)
 
         # ---- middle ----------------------------------------------------------
-        x = ResBlock(dims[-1], cfg.groups, dt, name="mid_block1")(x, t_cond)
+        x = ResBlock(dims[-1], cfg.groups, dt, ch, name="mid_block1")(x, t_cond)
         if cross_per[-1]:
-            x = CrossAttentionBlock(cfg.attn_heads, cfg.attn_dim_head, dt, name="mid_cross")(
-                x, context
-            )
+            x = rechunked(CrossAttentionBlock(
+                cfg.attn_heads, cfg.attn_dim_head, dt, name="mid_cross"
+            )(unchunked(x), context))
         if attns_per[-1]:
-            x = TransformerBlock(
+            x = rechunked(TransformerBlock(
                 cfg.attn_heads, cfg.attn_dim_head, cfg.ff_mult, dt, name="mid_attn"
-            )(x, context)
-        x = ResBlock(dims[-1], cfg.groups, dt, name="mid_block2")(x, t_cond)
+            )(unchunked(x), context))
+        x = ResBlock(dims[-1], cfg.groups, dt, ch, name="mid_block2")(x, t_cond)
 
         # ---- up path -----------------------------------------------------------
         for i in reversed(range(num_levels)):
@@ -233,27 +255,39 @@ class EfficientUNet(nn.Module):
             for j in range(blocks_per[i] + 1):
                 skip = skips.pop()
                 x = jnp.concatenate([x, skip], axis=-1)
-                x = ResBlock(d, cfg.groups, dt, name=f"up{i}_block{j}")(x, t_cond)
+                x = ResBlock(d, cfg.groups, dt, ch, name=f"up{i}_block{j}")(x, t_cond)
             if cross_per[i]:
-                x = CrossAttentionBlock(
+                x = rechunked(CrossAttentionBlock(
                     cfg.attn_heads, cfg.attn_dim_head, dt, name=f"up{i}_cross"
-                )(x, context)
+                )(unchunked(x), context))
             if attns_per[i]:
-                x = TransformerBlock(
+                x = rechunked(TransformerBlock(
                     cfg.attn_heads, cfg.attn_dim_head, cfg.ff_mult, dt, name=f"up{i}_attn"
-                )(x, context)
+                )(unchunked(x), context))
             if cfg.memory_efficient:
                 up_dim = dims[i - 1] if i > 0 else cfg.dim
-                x = Upsample(up_dim, dt, name=f"up{i}_upsample")(x)
+                x = Upsample(up_dim, dt, ch, name=f"up{i}_upsample")(x)
             elif i > 0:
-                x = Upsample(dims[i - 1], dt, name=f"up{i}_upsample")(x)
+                x = Upsample(dims[i - 1], dt, ch, name=f"up{i}_upsample")(x)
 
         assert not skips, "skip connection mismatch"
 
         # ---- final -----------------------------------------------------------
         if cfg.init_conv_to_final_conv_residual:
             x = jnp.concatenate([x, init_conv_out], axis=-1)
-        x = ResBlock(cfg.dim, cfg.groups, dt, name="final_block")(x, t_cond)
+        x = ResBlock(cfg.dim, cfg.groups, dt, ch, name="final_block")(x, t_cond)
+        if ch:
+            from ..kernels.conv3x3 import halo_pad
+
+            out = nn.Conv(
+                cfg.channels,
+                (3, 3),
+                padding=((0, 0), (1, 1)),
+                dtype=jnp.float32,
+                kernel_init=nn.initializers.zeros,
+                name="final_conv",
+            )(halo_pad(x, ch).astype(jnp.float32))
+            return unchunked(out)
         out = nn.Conv(
             cfg.channels,
             (3, 3),

@@ -165,3 +165,95 @@ def test_fused_block_matches_unfused_semantics():
     h = block(h, p["block2"])
     ref = h + x
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=2e-4)
+
+
+class TestChunkedConv:
+    """Row-chunked (batch-of-chunks) conv path: exact SAME-conv parity."""
+
+    def test_halo_pad(self):
+        import jax.numpy as jnp
+
+        from kidney_diffusion_tpu.kernels.conv3x3 import halo_pad
+
+        # 1 image, 3 chunks of 2 rows, W=1, C=1: rows numbered 0..5
+        x = jnp.arange(6.0).reshape(3, 2, 1, 1)
+        out = np.asarray(halo_pad(x, 3))[:, :, 0, 0]
+        np.testing.assert_array_equal(
+            out, [[0, 0, 1, 2], [1, 2, 3, 4], [3, 4, 5, 0]]
+        )
+
+    def test_halo_pad_multi_image(self):
+        import jax.numpy as jnp
+
+        from kidney_diffusion_tpu.kernels.conv3x3 import halo_pad
+
+        # 2 images x 2 chunks: halos must NOT leak across images
+        x = jnp.arange(8.0).reshape(4, 2, 1, 1)
+        out = np.asarray(halo_pad(x, 2))[:, :, 0, 0]
+        np.testing.assert_array_equal(
+            out, [[0, 0, 1, 2], [1, 2, 3, 0], [0, 4, 5, 6], [5, 6, 7, 0]]
+        )
+
+    def test_chunked_conv_equals_same_conv(self):
+        import jax.numpy as jnp
+
+        from kidney_diffusion_tpu.kernels.conv3x3 import conv3x3
+
+        rng = np.random.RandomState(0)
+        B, H, W, C, D, CH = 2, 16, 12, 8, 6, 4
+        x = jnp.asarray(rng.randn(B, H, W, C).astype(np.float32))
+        w = jnp.asarray(rng.randn(3, 3, C, D).astype(np.float32))
+        b = jnp.asarray(rng.randn(D).astype(np.float32))
+
+        y_ref, s_ref = conv3x3(x, w, b, want_stats=True)
+        xc = x.reshape(B * CH, H // CH, W, C)
+        y_ch, s_ch = conv3x3(xc, w, b, want_stats=True, chunks=CH)
+
+        np.testing.assert_allclose(
+            np.asarray(y_ch.reshape(B, H, W, D)), np.asarray(y_ref), atol=1e-5
+        )
+        # per-chunk stats sum to the per-image stats
+        s_sum = np.asarray(s_ch).reshape(B, CH, 2, D).sum(1)
+        np.testing.assert_allclose(s_sum, np.asarray(s_ref), rtol=1e-5, atol=1e-4)
+
+    def test_chunked_conv_with_prologue_grads(self):
+        import jax
+        import jax.numpy as jnp
+
+        from kidney_diffusion_tpu.kernels.conv3x3 import conv3x3
+
+        rng = np.random.RandomState(1)
+        B, H, W, C, CH = 1, 8, 8, 4, 2
+        x = jnp.asarray(rng.randn(B * CH, H // CH, W, C).astype(np.float32))
+        w = jnp.asarray(rng.randn(3, 3, C, C).astype(np.float32))
+        b = jnp.zeros((C,), np.float32)
+        pro = jnp.asarray(rng.randn(B * CH, 2, C).astype(np.float32))
+
+        def loss(x, w, pro):
+            y = conv3x3(x, w, b, pro=pro, chunks=CH)
+            return jnp.mean(y.astype(jnp.float32) ** 2)
+
+        g = jax.grad(loss, (0, 1, 2))(x, w, pro)
+        assert all(np.isfinite(np.asarray(t)).all() for t in g)
+
+    def test_bf16_grad_path(self):
+        """Regression: bf16 conv grads used to crash in JAX's conv
+        transpose (mixed bf16/f32 from preferred_element_type) — the
+        custom VJP must carry them."""
+        import jax
+        import jax.numpy as jnp
+
+        from kidney_diffusion_tpu.kernels.conv3x3 import conv3x3
+
+        x = jnp.ones((2, 8, 8, 4), jnp.bfloat16)
+        w = jnp.ones((3, 3, 4, 4), jnp.bfloat16)
+        b = jnp.zeros((4,), jnp.float32)
+
+        for chunks in (0, 2):
+            g = jax.grad(
+                lambda x, w: jnp.mean(
+                    conv3x3(x, w, b, chunks=chunks).astype(jnp.float32) ** 2
+                ),
+                (0, 1),
+            )(x, w)
+            assert g[0].dtype == jnp.bfloat16 and g[1].dtype == jnp.bfloat16

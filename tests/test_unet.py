@@ -201,3 +201,61 @@ def test_downsample_strided_equals_s2d_matmul():
         dimension_numbers=("NHWC", "HWIO", "NHWC"),
     ) + b
     np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=1e-4)
+
+
+def test_spatial_chunks_equivalence():
+    """spatial_chunks must not change the function: fp32 chunked vs
+    unchunked forward and grads agree tightly."""
+    import dataclasses
+
+    cfg0 = UNetConfig(
+        dim=16, dim_mults=(1, 2), channels=3, cond_dim=16, text_embed_dim=3,
+        num_resnet_blocks=(1, 2), layer_attns=(False, True),
+        layer_cross_attns=(False, True), attn_heads=2, attn_dim_head=8,
+        memory_efficient=True, lowres_cond=True, groups=4, dtype="float32",
+    )
+    cfg4 = dataclasses.replace(cfg0, spatial_chunks=4)
+
+    rng = np.random.RandomState(0)
+    B, H, W = 2, 32, 32
+    x = jnp.asarray(rng.rand(B, H, W, 3).astype(np.float32))
+    lr = jnp.asarray(rng.rand(B, H, W, 3).astype(np.float32))
+    t = jnp.asarray(rng.rand(B).astype(np.float32))
+    te = jnp.asarray(rng.randn(B, 2, 3).astype(np.float32))
+    lt = jnp.asarray(rng.rand(B).astype(np.float32))
+
+    m0, m4 = EfficientUNet(cfg0), EfficientUNet(cfg4)
+    p = m0.init(jax.random.PRNGKey(0), x, t, text_embeds=te,
+                lowres_cond_img=lr, lowres_noise_times=lt)
+    leaves, td = jax.tree_util.tree_flatten(p)
+    keys = jax.random.split(jax.random.PRNGKey(1), len(leaves))
+    p = jax.tree_util.tree_unflatten(
+        td, [0.1 * jax.random.normal(k, l.shape, l.dtype) for k, l in zip(keys, leaves)]
+    )
+
+    kw = dict(text_embeds=te, lowres_cond_img=lr, lowres_noise_times=lt)
+    y0 = m0.apply(p, x, t, **kw)
+    y4 = m4.apply(p, x, t, **kw)
+    np.testing.assert_allclose(np.asarray(y4), np.asarray(y0), atol=5e-5)
+
+    def loss(p, mod):
+        return jnp.mean(mod.apply(p, x, t, **kw) ** 2)
+
+    g0, g4 = jax.grad(loss)(p, m0), jax.grad(loss)(p, m4)
+    for a, b in zip(jax.tree.leaves(g0), jax.tree.leaves(g4)):
+        np.testing.assert_allclose(np.asarray(b), np.asarray(a), atol=5e-5)
+
+
+def test_spatial_chunks_fallback_on_unchunkable_shapes():
+    """H not divisible by chunks*2^levels -> silently runs unchunked."""
+    import dataclasses
+
+    cfg = UNetConfig(
+        dim=8, dim_mults=(1, 2), channels=3, num_resnet_blocks=1,
+        memory_efficient=True, groups=4, dtype="float32", spatial_chunks=8,
+    )
+    m = EfficientUNet(cfg)
+    x = jnp.zeros((1, 20, 20, 3))  # 20 % (8*4) != 0
+    t = jnp.zeros((1,))
+    p = m.init(jax.random.PRNGKey(0), x, t)
+    assert m.apply(p, x, t).shape == (1, 20, 20, 3)
