@@ -69,11 +69,17 @@ def run_training(
     trainer.load(checkpoint_path, noop_if_not_exist=True)
 
     run_id = run_id or generate_run_id()
+    # multi-host: training steps, validation, sampling, and trainer.save
+    # run on EVERY process (they are collective over the global mesh);
+    # wandb/JSONL/PNG emission is main-process-only (the reference's
+    # rank-0 gating, train.py:114-118)
     logger = MetricsLogger(
-        f"{project}_unet{unet_number}", run_id=run_id, resume=resume, use_wandb=use_wandb
+        f"{project}_unet{unet_number}", run_id=run_id, resume=resume,
+        use_wandb=use_wandb, enabled=trainer.is_main,
     )
     out_dir = os.path.join(sample_dir, run_id)
-    os.makedirs(out_dir, exist_ok=True)
+    if trainer.is_main:
+        os.makedirs(out_dir, exist_ok=True)
     trainer.print(f"Run ID: {run_id}")
 
     while True:
@@ -138,7 +144,8 @@ def default_sample_fn(dataset, unet_number: int, *, batch_size: int = 2):
             **kwargs,
         )
         out = np.asarray(out)
-        for i in range(out.shape[0]):
-            save_image(out[i], os.path.join(out_dir, f"sample-{step}-{i}.png"))
+        if trainer.is_main:  # sampling is collective; file IO is not
+            for i in range(out.shape[0]):
+                save_image(out[i], os.path.join(out_dir, f"sample-{step}-{i}.png"))
 
     return fn

@@ -83,6 +83,16 @@ class DataLoader:
             self._proc, self._nproc = jax.process_index(), jax.process_count()
         else:
             self._proc, self._nproc = 0, 1
+        if self._nproc > 1:
+            stripe = n // self._nproc
+            if drop_last and stripe < batch_size:
+                # without this, the index stream would yield ZERO batches
+                # and the producer would spin forever
+                raise ValueError(
+                    f"per-process stripe ({stripe} of {n} samples over "
+                    f"{self._nproc} processes) smaller than batch_size "
+                    f"({batch_size}); shrink the batch or the process count"
+                )
 
         self._q: "queue.Queue" = queue.Queue(maxsize=prefetch)
         self._stop = threading.Event()
@@ -92,10 +102,13 @@ class DataLoader:
 
     def _index_stream(self):
         n = len(self._dataset)
-        while True:
+        while not self._stop.is_set():
             order = self._rng.permutation(n) if self._shuffle else np.arange(n)
             if self._nproc > 1:
-                order = order[self._proc :: self._nproc]
+                # equal-length stripes: truncate to n // nproc so every
+                # process sees the SAME number of batches per epoch and
+                # hosts never drift onto different permutation epochs
+                order = order[self._proc :: self._nproc][: n // self._nproc]
             m = len(order)
             stop = m - (m % self._batch_size) if self._drop_last else m
             for i in range(0, stop, self._batch_size):

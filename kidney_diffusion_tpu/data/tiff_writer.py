@@ -99,7 +99,8 @@ class _IfdBuilder:
             self.entries.append((tag, typ, count, None, data))
 
     def render(self, ifd_offset: int, next_ifd: int) -> bytes:
-        """Serialize at `ifd_offset`; out-of-line data follows the IFD."""
+        """Serialize at `ifd_offset`; out-of-line data follows the IFD.
+        Every out-of-line value starts word-aligned (TIFF spec)."""
         n = len(self.entries)
         extra_base = ifd_offset + 2 + n * 12 + 4
         head = struct.pack("<H", n)
@@ -108,6 +109,8 @@ class _IfdBuilder:
             if inline is not None:
                 val = inline
             else:
+                if (extra_base + len(extras)) % 2:
+                    extras += b"\0"
                 val = struct.pack("<I", extra_base + len(extras))
                 extras += extra
             head += struct.pack("<HHI", tag, typ, count) + val
@@ -172,12 +175,10 @@ def write_tiled_tiff(
         # IFD chain at the tail
         ifd_offsets = []
         pos = f.tell() + (f.tell() % 2)
-        rendered = []
-        for i, ifd in enumerate(ifds):
+        for ifd in ifds:
             # two-pass: render once to size it, then with real next-pointer
             size = len(ifd.render(pos, 0))
             ifd_offsets.append(pos)
-            rendered.append(size)
             pos += size + (size % 2)
         f.write(b"\0" * (f.tell() % 2))
         for i, ifd in enumerate(ifds):

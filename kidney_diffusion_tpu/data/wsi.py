@@ -112,11 +112,13 @@ def open_slide(path: str) -> "Slide":
     if native.available():
         try:
             return native.NativeSlide(path)
-        except IOError:
+        except Exception:
             pass  # not a TIFF container (or unreadable) — try the others
     try:
         return SlideioSlide(path)
-    except ImportError:
+    except Exception:
+        # slideio missing OR it rejected the file (non-SVS image) —
+        # the PIL whole-image decode is the true last resort
         return PILSlide(path)
 
 

@@ -171,10 +171,10 @@ def _kernel(
     acc = taps(jnp.concatenate([hp[0:1], xp[: th - 1]], axis=0), 0, acc)
     acc = taps(jnp.concatenate([xp[1:], hp[1:2]], axis=0), 2, acc)
 
-    acc += b_ref[0][None, :]
-    y_ref[0] = acc.reshape(th, wid, cout).astype(out_dtype)
-
     if with_stats:
+        # accumulate raw sums of the PRE-bias output; the host-side
+        # finisher turns them into [sum(y), centered sumsq] (bias folded
+        # in exactly, variance shift-invariant — see xla_conv3x3)
         @pl.when(i == 0)
         def _():
             s_ref[:] = jnp.zeros_like(s_ref)
@@ -183,6 +183,9 @@ def _kernel(
         s2 = jnp.sum(acc * acc, axis=0)
         s_ref[0, 0, :] += s1
         s_ref[0, 1, :] += s2
+
+    acc += b_ref[0][None, :]
+    y_ref[0] = acc.reshape(th, wid, cout).astype(out_dtype)
 
 
 def halo_pad(x: Array, chunks: int) -> Array:
@@ -244,14 +247,24 @@ def xla_conv3x3(
             dimension_numbers=("NHWC", "HWIO", "NHWC"),
             preferred_element_type=jnp.float32,
         )
+    z = y  # pre-bias conv output
     if b is not None:
         y = y + b.astype(jnp.float32)[None, None, None, :]
     out = y.astype(x.dtype)
     if not want_stats:
         return out
-    s1 = jnp.sum(y, axis=(1, 2))
-    s2 = jnp.sum(y * y, axis=(1, 2))
-    return out, jnp.stack([s1, s2], axis=1)  # (B, 2, Cout)
+    # stats = (B, 2, Cout) = [sum(y), centered sumsq Q = sum((y - mean)^2)].
+    # Q is shift-invariant, so it is computed from the PRE-bias output
+    # whose per-channel means are small: the naive E[y^2] - E[y]^2 form
+    # loses all precision in fp32 once a channel's |mean|/std exceeds
+    # a few hundred (e.g. a drifting learned bias), which made GroupNorm
+    # explode exactly where it matters most.
+    npix = y.shape[1] * y.shape[2]
+    s1z = jnp.sum(z, axis=(1, 2))
+    s2z = jnp.sum(z * z, axis=(1, 2))
+    q = s2z - s1z * s1z / npix
+    s1 = s1z + (npix * b.astype(jnp.float32)[None, :] if b is not None else 0.0)
+    return out, jnp.stack([s1, q], axis=1)  # (B, 2, Cout)
 
 
 @functools.partial(
@@ -338,7 +351,11 @@ def _pallas_conv3x3(
     )(x, x, w9, b8, pro8)
     if want_stats:
         y, s = outs
-        return y, s[:, :2]  # (B, 2, Cout)
+        npix = x.shape[1] * x.shape[2]
+        s1z, s2z = s[:, 0], s[:, 1]
+        q = s2z - s1z * s1z / npix
+        s1 = s1z + npix * b.astype(jnp.float32)[None, :]
+        return y, jnp.stack([s1, q], axis=1)  # (B, 2, Cout)
     return outs
 
 

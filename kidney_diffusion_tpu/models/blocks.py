@@ -93,21 +93,34 @@ def gn_film_affine(
 ) -> Array:
     """Fold GroupNorm-apply (+ optional FiLM) into a per-(batch, channel)
     affine: silu(y*A + C) == silu(FiLM(GN(y))). `stats` is the conv
-    kernel's (B, 2, C) per-channel sum/sumsq over npix pixels.
+    kernel's (B, 2, C) per-channel [sum, centered-sumsq Q] over npix
+    pixels (kernels/conv3x3.py). Group moments come from the exact
+    decomposition var_g = mean_c(var_c) + mean_c((mu_c - mu_g)^2) —
+    no large-mean cancellation (the naive E[y^2]-E[y]^2 group form
+    loses fp32 precision once |mean|/std reaches a few hundred).
 
     chunks>0: stats are per-row-chunk (B*chunks, 2, C) over npix pixels
-    EACH; they are summed per image (exact GroupNorm over the full map)
-    and the affine is repeated back to (B*chunks, 2, C)."""
+    EACH; they combine per image via the parallel-variance rule
+    (Q = sum_i Q_i + n_i * sum_i (mu_i - mu)^2 — exact GroupNorm over
+    the full map) and the affine is repeated back to (B*chunks, 2, C)."""
     if chunks:
         bc = stats.shape[0]
-        stats = stats.reshape(bc // chunks, chunks, 2, -1).sum(1)
+        st = stats.reshape(bc // chunks, chunks, 2, -1)
+        s1_i, q_i = st[:, :, 0], st[:, :, 1]  # (B, CH, C)
+        s1 = s1_i.sum(1)
+        mu_i = s1_i / npix
+        mu_tot = s1 / (npix * chunks)
+        q = q_i.sum(1) + npix * jnp.sum((mu_i - mu_tot[:, None]) ** 2, axis=1)
+        stats = jnp.stack([s1, q], axis=1)
         npix = npix * chunks
     b, _, c = stats.shape
     cpg = c // groups
-    n = npix * cpg
-    s = stats.reshape(b, 2, groups, cpg).sum(-1)  # (B, 2, G)
-    mu = s[:, 0] / n
-    var = s[:, 1] / n - mu * mu
+    mu_c = stats[:, 0] / npix          # (B, C) per-channel mean
+    var_c = stats[:, 1] / npix         # (B, C) per-channel variance
+    mu_g = mu_c.reshape(b, groups, cpg).mean(-1)   # (B, G)
+    spread = ((mu_c.reshape(b, groups, cpg) - mu_g[:, :, None]) ** 2).mean(-1)
+    var = var_c.reshape(b, groups, cpg).mean(-1) + spread
+    mu = mu_g
     rstd = jax.lax.rsqrt(jnp.maximum(var, 0.0) + eps)  # (B, G)
 
     def per_channel(g):  # (B, G) -> (B, C)

@@ -293,12 +293,23 @@ class Trainer:
 
     def _shard(self, batch: Dict) -> Dict:
         sh = batch_sharding(self.mesh)
+        nproc = jax.process_count()
         out = {}
         for k, v in batch.items():
             if v is None:
                 continue
-            v = jnp.asarray(v)
-            out[k] = jax.device_put(v, sh) if self.mesh.size > 1 else v
+            v = np.asarray(v)
+            if self.mesh.size <= 1:
+                out[k] = jnp.asarray(v)
+            elif nproc > 1:
+                # multi-host: each process holds a DIFFERENT local batch
+                # (shard_by_process loader stripes); assemble the global
+                # batch of size local*nproc from the per-host pieces —
+                # a bare device_put would treat one host's rows as the
+                # whole global array and silently drop the rest
+                out[k] = jax.make_array_from_process_local_data(sh, v)
+            else:
+                out[k] = jax.device_put(jnp.asarray(v), sh)
         return out
 
     # ------------------------------------------------------------------

@@ -67,15 +67,30 @@ def _checkpointer():
 
 def save_checkpoint(path: str, tree: Any, *, metadata: Optional[dict] = None) -> None:
     """Save a pytree to `path` (a local directory or remote URI).
-    Overwrites atomically."""
+    Overwrites atomically.
+
+    Multi-host safe: every process must call this (Orbax's array save is
+    collective for sharded arrays); the pre-delete and metadata write
+    happen on process 0 only, with barriers so no process races the
+    delete."""
     p = _path(path)
     ckptr = _checkpointer()
-    if p.exists():
+    multihost = jax.process_count() > 1
+    if jax.process_index() == 0 and p.exists():
         p.rmtree()
+    if multihost:
+        from jax.experimental import multihost_utils
+
+        multihost_utils.sync_global_devices("kdt_ckpt_pre_save")
     ckptr.save(p, tree)
     ckptr.wait_until_finished()
-    meta = {"version": __version__, **(metadata or {})}
-    (p / _META_NAME).write_text(json.dumps(meta))
+    if jax.process_index() == 0:
+        meta = {"version": __version__, **(metadata or {})}
+        (p / _META_NAME).write_text(json.dumps(meta))
+    if multihost:
+        from jax.experimental import multihost_utils
+
+        multihost_utils.sync_global_devices("kdt_ckpt_post_save")
 
 
 def checkpoint_exists(path: str) -> bool:
@@ -117,14 +132,37 @@ def load_checkpoint(path: str, target: Any, *, partial: bool = False) -> Any:
     merged = dict(flat_target)
     skipped = []
     for k, v in flat_target.items():
-        if k in flat_raw and np.shape(flat_raw[k]) == np.shape(v):
-            merged[k] = jax.numpy.asarray(flat_raw[k], dtype=getattr(v, "dtype", None))
-        else:
-            skipped.append(k)
+        if k in flat_raw:
+            r = _adapt_leaf(k, flat_raw[k], np.shape(v))
+            if np.shape(r) == np.shape(v):
+                merged[k] = jax.numpy.asarray(r, dtype=getattr(v, "dtype", None))
+                continue
+        skipped.append(k)
     if skipped:
         print(f"[checkpoint] partial restore skipped {len(skipped)} leaves: "
               f"{skipped[:5]}{'...' if len(skipped) > 5 else ''}")
     return _unflatten_like(target, merged)
+
+
+def _adapt_leaf(key: str, raw, target_shape):
+    """Layout migrations for leaves whose VALUES are unchanged.
+
+    Downsample `proj` kernels moved from space-to-depth form (1,1,4C,D)
+    to strided-conv form (2,2,C,D) — the identical weights indexed
+    (dy,dx,c) instead of (1,1,4c) (models/blocks.py:Downsample), so old
+    checkpoints restore exactly via reshape."""
+    rs = tuple(np.shape(raw))
+    ts = tuple(target_shape)
+    if (
+        "proj" in key
+        and len(rs) == 4
+        and len(ts) == 4
+        and rs != ts
+        and int(np.prod(rs)) == int(np.prod(ts))
+        and {rs[:2], ts[:2]} == {(1, 1), (2, 2)}
+    ):
+        return np.asarray(raw).reshape(ts)
+    return raw
 
 
 def _flatten_with_paths(tree: Any) -> dict:

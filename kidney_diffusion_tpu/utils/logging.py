@@ -32,10 +32,18 @@ class MetricsLogger:
         resume: bool = False,
         log_dir: str = "logs",
         use_wandb: bool = True,
+        enabled: bool = True,
     ):
+        """`enabled=False` makes every method a no-op — non-main hosts in
+        a multi-host run (the reference's rank-0-only wandb logging,
+        train.py:114-118)."""
         self.project = project
         self.run_id = run_id or generate_run_id()
+        self.enabled = enabled
         self._wandb = None
+        self._file = None
+        if not enabled:
+            return
         if use_wandb:
             try:
                 import wandb
@@ -49,6 +57,8 @@ class MetricsLogger:
         self._file = open(self._path, "a")
 
     def log(self, step: int, **metrics):
+        if self._file is None:
+            return
         if self._wandb is not None:
             self._wandb.log({"step": step, **metrics})
         self._file.write(json.dumps({"step": step, "ts": time.time(), **metrics}) + "\n")
@@ -59,6 +69,8 @@ class MetricsLogger:
         sample cadence, /root/reference/train.py:240-242). Logged to
         wandb when available; always recorded in the JSONL stream (by
         path, not pixels) so headless runs keep an auditable trail."""
+        if self._file is None:
+            return
         if self._wandb is not None:
             payload = image if image is not None else path
             self._wandb.log({name: self._wandb.Image(payload), "step": step})
@@ -69,7 +81,8 @@ class MetricsLogger:
         self._file.flush()
 
     def close(self):
-        self._file.close()
+        if self._file is not None:
+            self._file.close()
 
 
 def save_image(image, path: str) -> None:

@@ -212,9 +212,35 @@ class TestChunkedConv:
         np.testing.assert_allclose(
             np.asarray(y_ch.reshape(B, H, W, D)), np.asarray(y_ref), atol=1e-5
         )
-        # per-chunk stats sum to the per-image stats
-        s_sum = np.asarray(s_ch).reshape(B, CH, 2, D).sum(1)
-        np.testing.assert_allclose(s_sum, np.asarray(s_ref), rtol=1e-5, atol=1e-4)
+        # stats are [sum, centered sumsq]: sums add; Q combines via the
+        # parallel-variance rule (models/blocks.py:gn_film_affine)
+        sc = np.asarray(s_ch).reshape(B, CH, 2, D)
+        npix = (H // CH) * W
+        s1 = sc[:, :, 0].sum(1)
+        mu_i = sc[:, :, 0] / npix
+        mu = s1 / (npix * CH)
+        q = sc[:, :, 1].sum(1) + npix * ((mu_i - mu[:, None]) ** 2).sum(1)
+        np.testing.assert_allclose(s1, np.asarray(s_ref)[:, 0], rtol=1e-5, atol=1e-4)
+        np.testing.assert_allclose(q, np.asarray(s_ref)[:, 1], rtol=1e-4, atol=1e-3)
+
+    def test_stats_large_bias_no_cancellation(self):
+        """Regression: with a huge learned bias (|mean|/std ~ 1e4) the
+        centered-stats path must still recover the variance; the naive
+        E[y^2]-E[y]^2 form loses it entirely in fp32."""
+        import jax.numpy as jnp
+
+        from kidney_diffusion_tpu.kernels.conv3x3 import conv3x3
+
+        rng = np.random.RandomState(2)
+        x = jnp.asarray(rng.randn(1, 32, 32, 8).astype(np.float32) * 0.01)
+        w = jnp.asarray(rng.randn(3, 3, 8, 8).astype(np.float32) * 0.1)
+        bias = jnp.full((8,), 500.0, jnp.float32)
+
+        y, s = conv3x3(x, w, bias, want_stats=True)
+        y64 = np.asarray(y, np.float64)
+        var_true = y64.reshape(-1, 8).var(0)
+        var_got = np.asarray(s)[0, 1] / (32 * 32)
+        np.testing.assert_allclose(var_got, var_true, rtol=1e-3)
 
     def test_chunked_conv_with_prologue_grads(self):
         import jax

@@ -117,3 +117,50 @@ def test_setup_distributed_flag(monkeypatch):
         "num_processes": 4,
         "process_id": 2,
     }]
+
+
+def test_stripe_smaller_than_batch_raises(monkeypatch):
+    """A per-process stripe that cannot fill one batch must fail loudly
+    at construction (it used to busy-spin the producer forever)."""
+    monkeypatch.setattr(jax, "process_index", lambda: 0)
+    monkeypatch.setattr(jax, "process_count", lambda: 8)
+    with pytest.raises(ValueError, match="stripe"):
+        make_loader(_IndexDataset(32), batch_size=8, shard_by_process=True)
+
+
+def test_equal_batches_per_epoch_with_remainder(monkeypatch):
+    """n % nproc != 0: stripes truncate to n // nproc so every host sees
+    the same number of batches per epoch (no cross-epoch drift)."""
+    n, nproc, bs = 35, 4, 4
+    stripes = [
+        _epoch_indices(p, nproc, n=n, bs=bs, monkeypatch=monkeypatch)
+        for p in range(nproc)
+    ]
+    assert all(len(s) == (n // nproc) // bs * bs for s in stripes)
+    all_idx = np.concatenate(stripes)
+    assert len(np.unique(all_idx)) == len(all_idx)  # still disjoint
+
+
+def test_multihost_checkpoint_save_gates_io(monkeypatch, tmp_path):
+    """Non-main processes participate in the (collective) save but must
+    not pre-delete or write metadata."""
+    from kidney_diffusion_tpu.utils import checkpoint as ckpt
+
+    path = str(tmp_path / "c")
+    ckpt.save_checkpoint(path, {"a": np.ones((2,), np.float32)})
+    assert ckpt.load_metadata(path)["version"]
+
+    # simulate a non-main process: rmtree/meta-write must be skipped
+    # (patch the barrier out — there is only one real process here)
+    monkeypatch.setattr(jax, "process_index", lambda: 1)
+    monkeypatch.setattr(jax, "process_count", lambda: 2)
+    import jax.experimental.multihost_utils as mhu
+
+    monkeypatch.setattr(mhu, "sync_global_devices", lambda name: None)
+    before = ckpt.load_metadata(path)
+    try:
+        ckpt.save_checkpoint(path, {"a": np.full((2,), 2.0, np.float32)})
+    except Exception:
+        pass  # orbax may refuse to overwrite without the pre-delete — the
+        # point is that THIS process never deleted the existing data
+    assert ckpt.load_metadata(path) == before  # untouched by non-main

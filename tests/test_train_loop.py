@@ -114,3 +114,35 @@ def test_remote_uri_checkpoint(tmp_path):
         assert not tr3.load(f"{bucket}/missing", noop_if_not_exist=True)
     finally:
         ckpt.unmount_uri_prefix(bucket)
+
+
+def test_metrics_logger_disabled_is_noop(tmp_path, monkeypatch):
+    from kidney_diffusion_tpu.utils.logging import MetricsLogger
+
+    monkeypatch.chdir(tmp_path)
+    lg = MetricsLogger("p", run_id="r", use_wandb=False, enabled=False)
+    lg.log(1, loss=0.5)
+    lg.log_image(1, "x.png", path="/tmp/x.png")
+    lg.close()
+    assert not (tmp_path / "logs").exists()
+
+
+def test_downsample_kernel_layout_migration(tmp_path):
+    """Old checkpoints hold Downsample proj kernels as (1,1,4C,D); the
+    strided-conv form is (2,2,C,D) with identical values — partial
+    restore must reshape, not silently skip."""
+    import jax.numpy as jnp
+
+    from kidney_diffusion_tpu.utils import checkpoint as ckpt
+
+    rng = np.random.RandomState(0)
+    old_kernel = rng.randn(1, 1, 20, 7).astype(np.float32)
+    path = str(tmp_path / "old")
+    ckpt.save_checkpoint(path, {"down0_pre": {"proj": {"kernel": old_kernel}}})
+
+    target = {"down0_pre": {"proj": {"kernel": jnp.zeros((2, 2, 5, 7))}}}
+    restored = ckpt.load_checkpoint(path, target, partial=True)
+    np.testing.assert_allclose(
+        np.asarray(restored["down0_pre"]["proj"]["kernel"]),
+        old_kernel.reshape(2, 2, 5, 7),
+    )
