@@ -209,6 +209,7 @@ class Cascade:
         use_ddim: bool = False,
         ddim_steps: int = 0,
         ddim_eta: float = 0.0,
+        dpmpp_steps: int = 0,
         spatial_shard=None,
     ) -> Array:
         """Jit-cached stage sampling (one compiled program per
@@ -227,6 +228,7 @@ class Cascade:
             use_ddim,
             ddim_steps,
             float(ddim_eta),
+            dpmpp_steps,
             spatial_shard,
         )
         if not hasattr(self, "_stage_jit_cache"):
@@ -250,6 +252,7 @@ class Cascade:
                     use_ddim=use_ddim,
                     ddim_steps=ddim_steps,
                     ddim_eta=ddim_eta,
+                    dpmpp_steps=dpmpp_steps,
                     spatial_shard=spatial_shard,
                 )
 
@@ -293,6 +296,7 @@ class Cascade:
         use_ddim: bool = False,
         ddim_steps: int = 0,
         ddim_eta: float = 0.0,
+        dpmpp_steps: int = 0,
         spatial_shard=None,
     ) -> Array:
         """Sample one stage. `lowres_image` is the previous stage's [0,1]
@@ -377,6 +381,20 @@ class Cascade:
                 inpaint_masks=inpaint_masks,
                 inpaint_resample_times=inpaint_resample_times,
             )
+        elif dpmpp_steps > 0:
+            from .core.diffusion import dpmpp_sample_loop
+
+            out = dpmpp_sample_loop(
+                gd,
+                denoise_fn,
+                (batch_size, size, size, cfg.channels),
+                key,
+                objective=st.pred_objective,
+                num_steps=dpmpp_steps,
+                inpaint_images=inpaint_norm,
+                inpaint_masks=inpaint_masks,
+                inpaint_resample_times=inpaint_resample_times,
+            )
         elif use_ddim and ddim_steps > 0:
             from .core.diffusion import ddim_sample_loop
 
@@ -422,6 +440,7 @@ class Cascade:
         cond_scale: float = 1.0,
         ddim_steps: int = 0,
         ddim_eta: float = 0.0,
+        dpmpp_steps: int = 0,
     ) -> Array:
         """Cascade sampling across a window of stages, mirroring
         `imagen.sample(start_at_unet_number=..., stop_at_unet_number=...)`
@@ -460,6 +479,7 @@ class Cascade:
                 use_ddim=ddim_steps > 0,
                 ddim_steps=ddim_steps,
                 ddim_eta=ddim_eta,
+                dpmpp_steps=dpmpp_steps,
             )
         return img
 
@@ -476,6 +496,7 @@ class Cascade:
         stop_at_unet_number: Optional[int] = None,
         ddim_steps: int = 0,
         ddim_eta: float = 0.0,
+        dpmpp_steps: int = 0,
         progress: bool = True,
     ):
         """Bulk generation, one STAGE at a time with per-stage batch sizes
@@ -521,6 +542,7 @@ class Cascade:
                     use_ddim=ddim_steps > 0,
                     ddim_steps=ddim_steps,
                     ddim_eta=ddim_eta,
+                    dpmpp_steps=dpmpp_steps,
                     **kwargs,
                 )
                 outs.append(np.asarray(out, np.float16)[:b])

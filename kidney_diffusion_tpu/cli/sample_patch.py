@@ -52,6 +52,8 @@ def parse_args():
     p.add_argument("--stop_at_unet_number", type=int, default=None)
     p.add_argument("--ddim_eta", type=float, default=0.0,
                    help="DDIM stochasticity (0 = deterministic)")
+    p.add_argument("--dpmpp_steps", type=int, default=0,
+                   help="DPM-Solver++(2M) fast sampling with N steps (overrides --ddim_steps)")
     p.add_argument("--ddim_steps", type=int, default=0,
                    help="use the DDIM fast path with this many steps")
     return p.parse_args()
@@ -122,6 +124,7 @@ def main():
         stop_at_unet_number=stop,
         ddim_steps=args.ddim_steps,
         ddim_eta=args.ddim_eta,
+        dpmpp_steps=args.dpmpp_steps,
         **kwargs,
     )
     for i in range(n_total):

@@ -45,6 +45,8 @@ def parse_args():
     p.add_argument("--max_wave_batch", type=int, default=16)
     p.add_argument("--seed", type=int, default=None)
     p.add_argument("--stop_at_mag", type=int, default=2)
+    p.add_argument("--dpmpp_steps", type=int, default=0,
+                   help="DPM-Solver++(2M) fast sampling with N steps (overrides --ddim_steps)")
     p.add_argument("--ddim_steps", type=int, default=0,
                    help="DDIM fast path with this many steps per stage "
                         "(~4x faster gigapixel at 64 vs 256)")
@@ -113,6 +115,7 @@ def main():
         max_wave_batch=args.max_wave_batch,
         mesh=mesh,
         ddim_steps=args.ddim_steps,
+        dpmpp_steps=args.dpmpp_steps,
     )
     save_image(mag1, f"{args.sample_dir}/MAG1-{sample_id}{postfix}.jpg")
     print(f"MAG1 saved ({mag1.shape})", flush=True)
@@ -132,6 +135,7 @@ def main():
         max_wave_batch=args.max_wave_batch,
         mesh=mesh,
         ddim_steps=args.ddim_steps,
+        dpmpp_steps=args.dpmpp_steps,
     )
     save_image(mag2, f"{args.sample_dir}/MAG2-{sample_id}{postfix}.jpg")
     print(f"MAG2 saved ({mag2.shape})", flush=True)

@@ -327,6 +327,118 @@ def ddim_sample_loop(
     return jnp.clip(x, -1.0, 1.0)
 
 
+def dpmpp_sample_loop(
+    diffusion: GaussianDiffusion,
+    denoise_fn: DenoiseFn,
+    shape: tuple,
+    key: Array,
+    *,
+    objective: str = "noise",
+    num_steps: int = 25,
+    use_dynamic_threshold: bool = True,
+    threshold_percentile: float = 0.95,
+    inpaint_images: Optional[Array] = None,
+    inpaint_masks: Optional[Array] = None,
+    inpaint_resample_times: int = 1,
+) -> Array:
+    """DPM-Solver++(2M) (Lu et al. 2022, arXiv:2211.01095 Algorithm 2) —
+    the data-prediction second-order multistep solver. Reaches DDPM-256
+    quality in ~20-30 steps, well below DDIM's useful range; a serving
+    accelerator beyond the reference's surface (which has only ancestral
+    sampling, imagen-pytorch p_sample_loop).
+
+    Works in half-log-SNR time lambda = log(alpha/sigma):
+        h_i      = lambda_{i+1} - lambda_i
+        D_i      = (1 + 1/(2 r_i)) x0_i - 1/(2 r_i) x0_{i-1},
+                   r_i = h_{i-1}/h_i        (first + final steps: D = x0)
+        x_{i+1}  = (sigma_{i+1}/sigma_i) x_i - alpha_{i+1} expm1(-h_i) D_i
+    entirely under one `lax.scan`. Supports the same RePaint inpainting
+    contract as the other loops (gigapixel seam blending can ride it).
+    """
+    batch = shape[0]
+    times = jnp.linspace(1.0, 0.0, num_steps + 1, dtype=jnp.float32)
+    time_pairs = jnp.stack([times[:-1], times[1:]], axis=-1)
+
+    key, init_key = jax.random.split(key)
+    x = jax.random.normal(init_key, shape, jnp.float32)
+
+    has_inpaint = inpaint_images is not None and inpaint_masks is not None
+    if has_inpaint:
+        inpaint_images = inpaint_images.astype(jnp.float32)
+        mask = inpaint_masks.astype(jnp.float32)
+        if mask.ndim == len(shape) - 1:
+            mask = mask[..., None]
+    resample_times = max(int(inpaint_resample_times), 1) if has_inpaint else 1
+
+    def predict_x0(x, t):
+        pred = denoise_fn(x, t).astype(jnp.float32)
+        x0 = pred_to_x_start(diffusion, x, t, pred, objective=objective)
+        if use_dynamic_threshold:
+            return dynamic_threshold(x0, threshold_percentile)
+        return static_threshold(x0)
+
+    def step(carry, pair):
+        x, x0_prev, lam_prev, is_first, key = carry
+        t = jnp.full((batch,), pair[0], jnp.float32)
+        t_next = jnp.full((batch,), pair[1], jnp.float32)
+
+        def one_update(x):
+            x0 = predict_x0(x, t)
+            lam = 0.5 * _right_pad_dims_to(x, diffusion.log_snr(t))
+            lam_next = 0.5 * _right_pad_dims_to(x, diffusion.log_snr(t_next))
+            h = lam_next - lam
+            sigma = jnp.sqrt(jax.nn.sigmoid(-2.0 * lam))
+            alpha_next = jnp.sqrt(jax.nn.sigmoid(2.0 * lam_next))
+            sigma_next = jnp.sqrt(jax.nn.sigmoid(-2.0 * lam_next))
+
+            h_prev = lam - lam_prev
+            r2 = 2.0 * h_prev / jnp.where(jnp.abs(h) < 1e-12, 1e-12, h)
+            r2 = jnp.where(jnp.abs(r2) < 1e-12, 1.0, r2)  # first step: no
+            # history (h_prev = 0); the value is discarded by the select
+            d2 = (1.0 + 1.0 / r2) * x0 - (1.0 / r2) * x0_prev
+            # first step has no history; final step drops to first order
+            # (lower_order_final — stabilises the lambda -> inf endpoint)
+            is_last = _right_pad_dims_to(x, (t_next <= 0.0).astype(jnp.float32))
+            d = jnp.where((is_first > 0) | (is_last > 0), x0, d2)
+
+            x_new = (sigma_next / sigma) * x - alpha_next * jnp.expm1(-h) * d
+            return x_new, x0, lam
+
+        if not has_inpaint:
+            x, x0, lam = one_update(x)
+            return (x, x0, lam, jnp.float32(0.0), key), None
+
+        def body(rr, carry):
+            x, x0_out, lam_out, key = carry
+            key, k1, k3 = jax.random.split(key, 3)
+            noised, *_ = diffusion.q_sample(
+                inpaint_images, t, jax.random.normal(k1, x.shape, jnp.float32)
+            )
+            x = x * (1.0 - mask) + noised * mask
+            x, x0_out, lam_out = one_update(x)
+            renoise = jnp.logical_and(rr < resample_times - 1, t_next[0] > 0)
+            x = jnp.where(
+                renoise,
+                diffusion.q_sample_from_to(
+                    x, t_next, t, jax.random.normal(k3, x.shape, jnp.float32)
+                ),
+                x,
+            )
+            return (x, x0_out, lam_out, key)
+
+        x, x0, lam, key = jax.lax.fori_loop(
+            0, resample_times, body, (x, x0_prev, lam_prev, key)
+        )
+        return (x, x0, lam, jnp.float32(0.0), key), None
+
+    lam0 = 0.5 * _right_pad_dims_to(x, diffusion.log_snr(jnp.full((batch,), 1.0)))
+    carry0 = (x, jnp.zeros_like(x), lam0, jnp.float32(1.0), key)
+    (x, _, _, _, _), _ = jax.lax.scan(step, carry0, time_pairs, length=num_steps)
+    if has_inpaint:
+        x = x * (1.0 - mask) + inpaint_images * mask
+    return jnp.clip(x, -1.0, 1.0)
+
+
 def cfg_denoise_fn(
     apply_cond: Callable[[Array, Array], Array],
     apply_uncond: Callable[[Array, Array], Array],

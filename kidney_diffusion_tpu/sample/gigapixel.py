@@ -289,6 +289,7 @@ def generate_patch_set(
     mesh=None,
     debug_dir: Optional[str] = None,
     ddim_steps: int = 0,
+    dpmpp_steps: int = 0,
 ) -> Dict[Pos, np.ndarray]:
     """Generate all patches of one magnification level through the full
     cascade, wave by wave, batched.
@@ -383,7 +384,9 @@ def generate_patch_set(
                         for k, v in kwargs.items()
                     }
 
-                if ddim_steps > 0:
+                if dpmpp_steps > 0:
+                    kwargs["dpmpp_steps"] = dpmpp_steps
+                elif ddim_steps > 0:
                     kwargs["use_ddim"] = True
                     kwargs["ddim_steps"] = ddim_steps
                 key, sk = jax.random.split(key)
@@ -485,6 +488,7 @@ def generate_high_res_image(
     debug_dir: Optional[str] = None,
     max_patches: Optional[int] = None,
     ddim_steps: int = 0,
+    dpmpp_steps: int = 0,
 ) -> np.ndarray:
     """One magnification refinement: coarse (H, W, 3) [0,1] -> finer
     uint8 canvas (the reference's generate_high_res_image,
@@ -529,6 +533,7 @@ def generate_high_res_image(
         mesh=mesh,
         debug_dir=debug_dir,
         ddim_steps=ddim_steps,
+        dpmpp_steps=dpmpp_steps,
     )
     return stitch_patches(
         zoomed_image,

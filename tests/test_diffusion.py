@@ -186,3 +186,58 @@ def test_cascade_sample_stage_exposes_ddim_eta():
     a0, a0b, a1 = np.asarray(run(0.0)), np.asarray(run(0.0)), np.asarray(run(0.7))
     np.testing.assert_array_equal(a0, a0b)
     assert np.max(np.abs(a0 - a1)) > 1e-5
+
+
+def test_dpmpp_recovers_target():
+    """DPM-Solver++(2M) with an oracle denoiser converges to the target
+    in FAR fewer steps than the training discretisation."""
+    from kidney_diffusion_tpu.core.diffusion import dpmpp_sample_loop
+
+    gd = GaussianDiffusion(num_timesteps=64)
+    target = jnp.full((1, 8, 8, 3), 0.25)
+    for steps in (8, 25):
+        out = dpmpp_sample_loop(
+            gd, _oracle_denoiser(gd, target), (2, 8, 8, 3),
+            jax.random.PRNGKey(0), objective="noise", num_steps=steps,
+        )
+        assert float(jnp.abs(out - 0.25).max()) < 0.05, steps
+
+
+def test_dpmpp_deterministic():
+    from kidney_diffusion_tpu.core.diffusion import dpmpp_sample_loop
+
+    gd = GaussianDiffusion(num_timesteps=64)
+    target = jnp.full((1, 8, 8, 3), -0.3)
+    a = dpmpp_sample_loop(gd, _oracle_denoiser(gd, target), (1, 8, 8, 3),
+                          jax.random.PRNGKey(3), num_steps=12)
+    b = dpmpp_sample_loop(gd, _oracle_denoiser(gd, target), (1, 8, 8, 3),
+                          jax.random.PRNGKey(3), num_steps=12)
+    np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_dpmpp_inpaint_keeps_known_pixels():
+    from kidney_diffusion_tpu.core.diffusion import dpmpp_sample_loop
+
+    gd = GaussianDiffusion(num_timesteps=64)
+    target = jnp.full((1, 8, 8, 3), 0.25)
+    mask = jnp.zeros((2, 8, 8)).at[:, :4].set(1.0)
+    known = jnp.full((2, 8, 8, 3), -0.5)
+    out = dpmpp_sample_loop(
+        gd, _oracle_denoiser(gd, target), (2, 8, 8, 3),
+        jax.random.PRNGKey(1), num_steps=16,
+        inpaint_images=known, inpaint_masks=mask, inpaint_resample_times=2,
+    )
+    np.testing.assert_allclose(np.asarray(out)[:, :4], -0.5, atol=1e-6)
+    assert float(jnp.abs(out[:, 4:] - 0.25).max()) < 0.05
+
+
+def test_dpmpp_through_cascade_api():
+    """dpmpp_steps flows through sample_stage/sample end to end."""
+    from kidney_diffusion_tpu.cascade import Cascade
+    from kidney_diffusion_tpu.models.configs import tiny_test_cascade
+
+    c = Cascade(tiny_test_cascade())
+    params = [c.init_stage_params(jax.random.PRNGKey(i), i) for i in (1, 2)]
+    out = c.sample(params, jax.random.PRNGKey(0), batch_size=1, dpmpp_steps=6)
+    assert out.shape == (1, 32, 32, 3)
+    assert np.isfinite(np.asarray(out)).all()
