@@ -123,7 +123,11 @@ def default_sample_fn(dataset, unet_number: int, *, batch_size: int = 2):
     reference's periodic sample dump (train.py:226-242)."""
 
     def fn(trainer: Trainer, step: int, out_dir: str):
-        items = [dataset[0], dataset[np.random.randint(len(dataset))]][:batch_size]
+        # step-seeded pick: deterministic AND identical on every host —
+        # sampling is collective over the global mesh, so conditioning
+        # inputs must agree across processes
+        rng = np.random.RandomState(step)
+        items = [dataset[0], dataset[rng.randint(len(dataset))]][:batch_size]
         kwargs = {}
         first = items[0]
         if isinstance(first, tuple):
@@ -143,8 +147,8 @@ def default_sample_fn(dataset, unet_number: int, *, batch_size: int = 2):
             stop_at_unet_number=unet_number,
             **kwargs,
         )
-        out = np.asarray(out)
-        if trainer.is_main:  # sampling is collective; file IO is not
+        if trainer.is_main:  # sampling is collective; fetch + file IO is not
+            out = np.asarray(out)
             for i in range(out.shape[0]):
                 save_image(out[i], os.path.join(out_dir, f"sample-{step}-{i}.png"))
 

@@ -139,6 +139,78 @@ def ddpm_step(
     return mean + nonzero * jnp.exp(0.5 * log_var) * noise
 
 
+def _masked_reverse_scan(
+    diffusion: GaussianDiffusion,
+    x: Array,
+    key: Array,
+    time_pairs: Array,
+    update,
+    extra0,
+    *,
+    inpaint_images: Optional[Array],
+    inpaint_masks: Optional[Array],
+    inpaint_resample_times: int,
+) -> Array:
+    """Shared reverse-process scaffolding for every sampler loop: a
+    `lax.scan` over (t, t_next) pairs with the RePaint known-region
+    contract (`inpaint_masks` is 1 where pixels are KNOWN — blend the
+    forward-noised known image in before each update, optionally renoise
+    and resample, and restore exact known pixels at the end; matches the
+    reference's overlap-strip semantics,
+    /root/reference/sample_ultra_res.py:149-174).
+
+    `update(x, t, t_next, key, extra) -> (x, extra)` is the per-step
+    sampler rule (ancestral / DDIM / DPM-Solver++); `extra0` is its
+    initial carried state (None if stateless)."""
+    batch = x.shape[0]
+    has_inpaint = inpaint_images is not None and inpaint_masks is not None
+    if has_inpaint:
+        inpaint_images = inpaint_images.astype(jnp.float32)
+        mask = inpaint_masks.astype(jnp.float32)
+        if mask.ndim == x.ndim - 1:  # (B, H, W) -> (B, H, W, 1), NHWC
+            mask = mask[..., None]
+    resample_times = max(int(inpaint_resample_times), 1) if has_inpaint else 1
+
+    def step(carry, pair):
+        x, extra, key = carry
+        t = jnp.full((batch,), pair[0], jnp.float32)
+        t_next = jnp.full((batch,), pair[1], jnp.float32)
+
+        if not has_inpaint:
+            key, uk = jax.random.split(key)
+            x, extra = update(x, t, t_next, uk, extra)
+            return (x, extra, key), None
+
+        def body(r, carry):
+            x, extra, key = carry
+            key, k1, k2, k3 = jax.random.split(key, 4)
+            noised, *_ = diffusion.q_sample(
+                inpaint_images, t, jax.random.normal(k1, x.shape, jnp.float32)
+            )
+            x = x * (1.0 - mask) + noised * mask
+            x, extra = update(x, t, t_next, k2, extra)
+            # renoise back to t for every resample round except the last
+            renoise = jnp.logical_and(r < resample_times - 1, t_next[0] > 0)
+            x = jnp.where(
+                renoise,
+                diffusion.q_sample_from_to(
+                    x, t_next, t, jax.random.normal(k3, x.shape, jnp.float32)
+                ),
+                x,
+            )
+            return (x, extra, key)
+
+        x, extra, key = jax.lax.fori_loop(0, resample_times, body, (x, extra, key))
+        return (x, extra, key), None
+
+    (x, _, _), _ = jax.lax.scan(
+        step, (x, extra0, key), time_pairs, length=time_pairs.shape[0]
+    )
+    if has_inpaint:
+        x = x * (1.0 - mask) + inpaint_images * mask
+    return jnp.clip(x, -1.0, 1.0)
+
+
 def sample_loop(
     diffusion: GaussianDiffusion,
     denoise_fn: DenoiseFn,
@@ -153,80 +225,28 @@ def sample_loop(
     inpaint_masks: Optional[Array] = None,
     inpaint_resample_times: int = 1,
 ) -> Array:
-    """Full DDPM reverse process as one `lax.scan`.
-
-    `inpaint_masks` is 1 where pixels are KNOWN (kept from
-    `inpaint_images`), matching the reference's overlap-strip semantics
-    (/root/reference/sample_ultra_res.py:149-174).
-    """
-    batch = shape[0]
+    """Full DDPM reverse process as one `lax.scan` (ancestral sampler)."""
     time_pairs = diffusion.sampling_time_pairs()  # (T, 2)
-    num_steps = time_pairs.shape[0]
 
     key, init_key = jax.random.split(key)
     x = jax.random.normal(init_key, shape, jnp.float32) if init_image is None else init_image.astype(jnp.float32)
 
-    has_inpaint = inpaint_images is not None and inpaint_masks is not None
-    if has_inpaint:
-        inpaint_images = inpaint_images.astype(jnp.float32)
-        mask = inpaint_masks.astype(jnp.float32)
-        if mask.ndim == len(shape) - 1:  # (B, H, W) -> (B, H, W, 1), NHWC
-            mask = mask[..., None]
+    def update(x, t, t_next, uk, extra):
+        noise = jax.random.normal(uk, x.shape, jnp.float32)
+        x = ddpm_step(
+            diffusion, denoise_fn, x, t, t_next, noise,
+            objective=objective,
+            use_dynamic_threshold=use_dynamic_threshold,
+            threshold_percentile=threshold_percentile,
+        )
+        return x, extra
 
-    resample_times = max(int(inpaint_resample_times), 1) if has_inpaint else 1
-
-    def blend_known(x, t, knoise):
-        """Replace known region with the forward-noised inpaint image."""
-        noised, _, _, _ = diffusion.q_sample(inpaint_images, t, knoise)
-        return x * (1.0 - mask) + noised * mask
-
-    def step(carry, pair):
-        x, key = carry
-        t = jnp.full((batch,), pair[0], jnp.float32)
-        t_next = jnp.full((batch,), pair[1], jnp.float32)
-
-        if not has_inpaint:
-            key, nkey = jax.random.split(key)
-            noise = jax.random.normal(nkey, x.shape, jnp.float32)
-            x = ddpm_step(
-                diffusion, denoise_fn, x, t, t_next, noise,
-                objective=objective,
-                use_dynamic_threshold=use_dynamic_threshold,
-                threshold_percentile=threshold_percentile,
-            )
-            return (x, key), None
-
-        def resample_body(r, carry):
-            x, key = carry
-            key, k1, k2, k3 = jax.random.split(key, 4)
-            x = blend_known(x, t, jax.random.normal(k1, x.shape, jnp.float32))
-            x = ddpm_step(
-                diffusion, denoise_fn, x, t, t_next,
-                jax.random.normal(k2, x.shape, jnp.float32),
-                objective=objective,
-                use_dynamic_threshold=use_dynamic_threshold,
-                threshold_percentile=threshold_percentile,
-            )
-            # renoise back to t for every resample round except the last
-            renoise = jnp.logical_and(r < resample_times - 1, t_next[0] > 0)
-            x = jnp.where(
-                renoise,
-                diffusion.q_sample_from_to(
-                    x, t_next, t, jax.random.normal(k3, x.shape, jnp.float32)
-                ),
-                x,
-            )
-            return (x, key)
-
-        x, key = jax.lax.fori_loop(0, resample_times, resample_body, (x, key))
-        return (x, key), None
-
-    (x, _), _ = jax.lax.scan(step, (x, key), time_pairs, length=num_steps)
-
-    if has_inpaint:
-        # exact known pixels in the final output
-        x = x * (1.0 - mask) + inpaint_images * mask
-    return jnp.clip(x, -1.0, 1.0)
+    return _masked_reverse_scan(
+        diffusion, x, key, time_pairs, update, None,
+        inpaint_images=inpaint_images,
+        inpaint_masks=inpaint_masks,
+        inpaint_resample_times=inpaint_resample_times,
+    )
 
 
 def ddim_sample_loop(
@@ -251,22 +271,13 @@ def ddim_sample_loop(
     inpainting contract as the ancestral loop, so the gigapixel seam
     blending can ride the fast path too.
     """
-    batch = shape[0]
     times = jnp.linspace(1.0, 0.0, num_steps + 1, dtype=jnp.float32)
     time_pairs = jnp.stack([times[:-1], times[1:]], axis=-1)
 
     key, init_key = jax.random.split(key)
     x = jax.random.normal(init_key, shape, jnp.float32)
 
-    has_inpaint = inpaint_images is not None and inpaint_masks is not None
-    if has_inpaint:
-        inpaint_images = inpaint_images.astype(jnp.float32)
-        mask = inpaint_masks.astype(jnp.float32)
-        if mask.ndim == len(shape) - 1:
-            mask = mask[..., None]
-    resample_times = max(int(inpaint_resample_times), 1) if has_inpaint else 1
-
-    def ddim_update(x, t, t_next, key):
+    def update(x, t, t_next, uk, extra):
         pred = denoise_fn(x, t).astype(jnp.float32)
         x0 = pred_to_x_start(diffusion, x, t, pred, objective=objective)
         x0 = dynamic_threshold(x0, threshold_percentile) if use_dynamic_threshold else static_threshold(x0)
@@ -286,45 +297,16 @@ def ddim_sample_loop(
                 * jnp.sqrt(jnp.clip(1.0 - (alpha / jnp.clip(alpha_next, min=1e-8)) ** 2, min=0.0))
             )
             dir_coeff = jnp.sqrt(jnp.clip(sigma_next**2 - ddim_sigma**2, min=0.0))
-            noise = jax.random.normal(key, x.shape, jnp.float32)
-            return alpha_next * x0 + dir_coeff * eps + ddim_sigma * noise
-        return alpha_next * x0 + sigma_next * eps
+            noise = jax.random.normal(uk, x.shape, jnp.float32)
+            return alpha_next * x0 + dir_coeff * eps + ddim_sigma * noise, extra
+        return alpha_next * x0 + sigma_next * eps, extra
 
-    def step(carry, pair):
-        x, key = carry
-        t = jnp.full((batch,), pair[0], jnp.float32)
-        t_next = jnp.full((batch,), pair[1], jnp.float32)
-
-        if not has_inpaint:
-            key, ukey = jax.random.split(key)
-            x = ddim_update(x, t, t_next, ukey)
-            return (x, key), None
-
-        def body(r, carry):
-            x, key = carry
-            key, k1, k2, k3 = jax.random.split(key, 4)
-            noised, *_ = diffusion.q_sample(
-                inpaint_images, t, jax.random.normal(k1, x.shape, jnp.float32)
-            )
-            x = x * (1.0 - mask) + noised * mask
-            x = ddim_update(x, t, t_next, k2)
-            renoise = jnp.logical_and(r < resample_times - 1, t_next[0] > 0)
-            x = jnp.where(
-                renoise,
-                diffusion.q_sample_from_to(
-                    x, t_next, t, jax.random.normal(k3, x.shape, jnp.float32)
-                ),
-                x,
-            )
-            return (x, key)
-
-        x, key = jax.lax.fori_loop(0, resample_times, body, (x, key))
-        return (x, key), None
-
-    (x, _), _ = jax.lax.scan(step, (x, key), time_pairs, length=num_steps)
-    if has_inpaint:
-        x = x * (1.0 - mask) + inpaint_images * mask
-    return jnp.clip(x, -1.0, 1.0)
+    return _masked_reverse_scan(
+        diffusion, x, key, time_pairs, update, None,
+        inpaint_images=inpaint_images,
+        inpaint_masks=inpaint_masks,
+        inpaint_resample_times=inpaint_resample_times,
+    )
 
 
 def dpmpp_sample_loop(
@@ -362,81 +344,40 @@ def dpmpp_sample_loop(
     key, init_key = jax.random.split(key)
     x = jax.random.normal(init_key, shape, jnp.float32)
 
-    has_inpaint = inpaint_images is not None and inpaint_masks is not None
-    if has_inpaint:
-        inpaint_images = inpaint_images.astype(jnp.float32)
-        mask = inpaint_masks.astype(jnp.float32)
-        if mask.ndim == len(shape) - 1:
-            mask = mask[..., None]
-    resample_times = max(int(inpaint_resample_times), 1) if has_inpaint else 1
-
-    def predict_x0(x, t):
+    def update(x, t, t_next, uk, extra):
+        x0_prev, lam_prev, is_first = extra
         pred = denoise_fn(x, t).astype(jnp.float32)
         x0 = pred_to_x_start(diffusion, x, t, pred, objective=objective)
-        if use_dynamic_threshold:
-            return dynamic_threshold(x0, threshold_percentile)
-        return static_threshold(x0)
+        x0 = dynamic_threshold(x0, threshold_percentile) if use_dynamic_threshold else static_threshold(x0)
 
-    def step(carry, pair):
-        x, x0_prev, lam_prev, is_first, key = carry
-        t = jnp.full((batch,), pair[0], jnp.float32)
-        t_next = jnp.full((batch,), pair[1], jnp.float32)
+        lam = 0.5 * _right_pad_dims_to(x, diffusion.log_snr(t))
+        lam_next = 0.5 * _right_pad_dims_to(x, diffusion.log_snr(t_next))
+        h = lam_next - lam
+        sigma = jnp.sqrt(jax.nn.sigmoid(-2.0 * lam))
+        alpha_next = jnp.sqrt(jax.nn.sigmoid(2.0 * lam_next))
+        sigma_next = jnp.sqrt(jax.nn.sigmoid(-2.0 * lam_next))
 
-        def one_update(x):
-            x0 = predict_x0(x, t)
-            lam = 0.5 * _right_pad_dims_to(x, diffusion.log_snr(t))
-            lam_next = 0.5 * _right_pad_dims_to(x, diffusion.log_snr(t_next))
-            h = lam_next - lam
-            sigma = jnp.sqrt(jax.nn.sigmoid(-2.0 * lam))
-            alpha_next = jnp.sqrt(jax.nn.sigmoid(2.0 * lam_next))
-            sigma_next = jnp.sqrt(jax.nn.sigmoid(-2.0 * lam_next))
+        h_prev = lam - lam_prev
+        r2 = 2.0 * h_prev / jnp.where(jnp.abs(h) < 1e-12, 1e-12, h)
+        r2 = jnp.where(jnp.abs(r2) < 1e-12, 1.0, r2)  # first step: no
+        # history (h_prev = 0); the value is discarded by the select
+        d2 = (1.0 + 1.0 / r2) * x0 - (1.0 / r2) * x0_prev
+        # first step has no history; final step drops to first order
+        # (lower_order_final — stabilises the lambda -> inf endpoint)
+        is_last = _right_pad_dims_to(x, (t_next <= 0.0).astype(jnp.float32))
+        d = jnp.where((is_first > 0) | (is_last > 0), x0, d2)
 
-            h_prev = lam - lam_prev
-            r2 = 2.0 * h_prev / jnp.where(jnp.abs(h) < 1e-12, 1e-12, h)
-            r2 = jnp.where(jnp.abs(r2) < 1e-12, 1.0, r2)  # first step: no
-            # history (h_prev = 0); the value is discarded by the select
-            d2 = (1.0 + 1.0 / r2) * x0 - (1.0 / r2) * x0_prev
-            # first step has no history; final step drops to first order
-            # (lower_order_final — stabilises the lambda -> inf endpoint)
-            is_last = _right_pad_dims_to(x, (t_next <= 0.0).astype(jnp.float32))
-            d = jnp.where((is_first > 0) | (is_last > 0), x0, d2)
-
-            x_new = (sigma_next / sigma) * x - alpha_next * jnp.expm1(-h) * d
-            return x_new, x0, lam
-
-        if not has_inpaint:
-            x, x0, lam = one_update(x)
-            return (x, x0, lam, jnp.float32(0.0), key), None
-
-        def body(rr, carry):
-            x, x0_out, lam_out, key = carry
-            key, k1, k3 = jax.random.split(key, 3)
-            noised, *_ = diffusion.q_sample(
-                inpaint_images, t, jax.random.normal(k1, x.shape, jnp.float32)
-            )
-            x = x * (1.0 - mask) + noised * mask
-            x, x0_out, lam_out = one_update(x)
-            renoise = jnp.logical_and(rr < resample_times - 1, t_next[0] > 0)
-            x = jnp.where(
-                renoise,
-                diffusion.q_sample_from_to(
-                    x, t_next, t, jax.random.normal(k3, x.shape, jnp.float32)
-                ),
-                x,
-            )
-            return (x, x0_out, lam_out, key)
-
-        x, x0, lam, key = jax.lax.fori_loop(
-            0, resample_times, body, (x, x0_prev, lam_prev, key)
-        )
-        return (x, x0, lam, jnp.float32(0.0), key), None
+        x_new = (sigma_next / sigma) * x - alpha_next * jnp.expm1(-h) * d
+        return x_new, (x0, lam, jnp.float32(0.0))
 
     lam0 = 0.5 * _right_pad_dims_to(x, diffusion.log_snr(jnp.full((batch,), 1.0)))
-    carry0 = (x, jnp.zeros_like(x), lam0, jnp.float32(1.0), key)
-    (x, _, _, _, _), _ = jax.lax.scan(step, carry0, time_pairs, length=num_steps)
-    if has_inpaint:
-        x = x * (1.0 - mask) + inpaint_images * mask
-    return jnp.clip(x, -1.0, 1.0)
+    extra0 = (jnp.zeros_like(x), lam0, jnp.float32(1.0))
+    return _masked_reverse_scan(
+        diffusion, x, key, time_pairs, update, extra0,
+        inpaint_images=inpaint_images,
+        inpaint_masks=inpaint_masks,
+        inpaint_resample_times=inpaint_resample_times,
+    )
 
 
 def cfg_denoise_fn(

@@ -85,7 +85,7 @@ class DataLoader:
             self._proc, self._nproc = 0, 1
         if self._nproc > 1:
             stripe = n // self._nproc
-            if drop_last and stripe < batch_size:
+            if stripe < (batch_size if drop_last else 1):
                 # without this, the index stream would yield ZERO batches
                 # and the producer would spin forever
                 raise ValueError(

@@ -112,13 +112,18 @@ def open_slide(path: str) -> "Slide":
     if native.available():
         try:
             return native.NativeSlide(path)
-        except Exception:
-            pass  # not a TIFF container (or unreadable) — try the others
+        except Exception as e:  # not a TIFF container, or engine failure
+            print(f"[wsi] native reader failed on {path} ({e!r}); "
+                  "trying slideio/PIL", flush=True)
     try:
         return SlideioSlide(path)
-    except Exception:
+    except Exception as e:
         # slideio missing OR it rejected the file (non-SVS image) —
-        # the PIL whole-image decode is the true last resort
+        # whole-image PIL decode is the last resort (RAM-bound: fine for
+        # fixtures/small images, loud warning for real slides)
+        if not isinstance(e, ImportError):
+            print(f"[wsi] slideio failed on {path} ({e!r}); "
+                  "falling back to whole-image PIL decode", flush=True)
         return PILSlide(path)
 
 

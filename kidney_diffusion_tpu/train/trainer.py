@@ -298,7 +298,6 @@ class Trainer:
         for k, v in batch.items():
             if v is None:
                 continue
-            v = np.asarray(v)
             if self.mesh.size <= 1:
                 out[k] = jnp.asarray(v)
             elif nproc > 1:
@@ -306,8 +305,9 @@ class Trainer:
                 # (shard_by_process loader stripes); assemble the global
                 # batch of size local*nproc from the per-host pieces —
                 # a bare device_put would treat one host's rows as the
-                # whole global array and silently drop the rest
-                out[k] = jax.make_array_from_process_local_data(sh, v)
+                # whole global array and silently drop the rest.
+                # (np conversion only here — it needs host-local numpy)
+                out[k] = jax.make_array_from_process_local_data(sh, np.asarray(v))
             else:
                 out[k] = jax.device_put(jnp.asarray(v), sh)
         return out

@@ -119,7 +119,13 @@ def load_checkpoint(path: str, target: Any, *, partial: bool = False) -> Any:
             f"[checkpoint] saved at version {meta['version']}, current {__version__}"
         )
     if not partial:
-        return ckptr.restore(p, target)
+        try:
+            return ckptr.restore(p, target)
+        except Exception:
+            # shape mismatch: retry restoring into the SAVED shapes and
+            # apply layout migrations (_adapt_leaf) afterwards — same
+            # tree structure required
+            return _restore_with_migrations(ckptr, p, target, path)
 
     # shape-tolerant: restore with raw structure, then merge
     try:
@@ -142,6 +148,47 @@ def load_checkpoint(path: str, target: Any, *, partial: bool = False) -> Any:
         print(f"[checkpoint] partial restore skipped {len(skipped)} leaves: "
               f"{skipped[:5]}{'...' if len(skipped) > 5 else ''}")
     return _unflatten_like(target, merged)
+
+
+def _restore_with_migrations(ckptr, p, target, path: str):
+    """Non-partial restore of a checkpoint whose leaf SHAPES changed in a
+    known layout migration: restore each mismatched leaf at its saved
+    shape, then `_adapt_leaf` it into the target layout. Leaf ORDER must
+    match (same tree structure — metadata flattens NamedTuples and
+    target trees in parallel order)."""
+    saved_shapes = [
+        getattr(m, "shape", None)
+        for m in jax.tree_util.tree_leaves(ckptr.metadata(p).item_metadata.tree)
+    ]
+    flat, treedef = jax.tree_util.tree_flatten_with_path(target)
+    if len(saved_shapes) != len(flat):
+        raise ValueError(
+            f"checkpoint at {path} has {len(saved_shapes)} leaves but the "
+            f"target expects {len(flat)}; not restorable non-partially "
+            f"(use partial=True)"
+        )
+    restore_leaves = []
+    for (keypath, leaf), saved in zip(flat, saved_shapes):
+        if saved is not None and tuple(saved) != tuple(np.shape(leaf)):
+            leaf = jax.ShapeDtypeStruct(tuple(saved), getattr(leaf, "dtype", np.float32))
+        restore_leaves.append(leaf)
+    restored = ckptr.restore(
+        p, jax.tree_util.tree_unflatten(treedef, restore_leaves)
+    )
+    out = []
+    bad = []
+    for (keypath, tgt), r in zip(flat, jax.tree_util.tree_leaves(restored)):
+        key = jax.tree_util.keystr(keypath)
+        r = _adapt_leaf(key, r, np.shape(tgt))
+        if np.shape(r) != np.shape(tgt):
+            bad.append(key)
+        out.append(r)
+    if bad:
+        raise ValueError(
+            f"checkpoint at {path} is shape-mismatched on {len(bad)} leaves "
+            f"with no known migration (e.g. {bad[:3]}); use partial=True"
+        )
+    return jax.tree_util.tree_unflatten(treedef, out)
 
 
 def _adapt_leaf(key: str, raw, target_shape):

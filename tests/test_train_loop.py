@@ -135,14 +135,40 @@ def test_downsample_kernel_layout_migration(tmp_path):
 
     from kidney_diffusion_tpu.utils import checkpoint as ckpt
 
+    import optax
+
     rng = np.random.RandomState(0)
     old_kernel = rng.randn(1, 1, 20, 7).astype(np.float32)
+    old_params = {"down0_pre": {"proj": {"kernel": jnp.asarray(old_kernel)}},
+                  "other": jnp.ones((3,))}
+    # include optimizer state: NamedTuple leaves exercise the
+    # metadata-ordered non-partial migration path
+    opt = optax.adam(1e-3).init(old_params)
     path = str(tmp_path / "old")
-    ckpt.save_checkpoint(path, {"down0_pre": {"proj": {"kernel": old_kernel}}})
+    ckpt.save_checkpoint(path, {"params": old_params, "opt": opt, "step": 7})
 
-    target = {"down0_pre": {"proj": {"kernel": jnp.zeros((2, 2, 5, 7))}}}
-    restored = ckpt.load_checkpoint(path, target, partial=True)
+    new_params = {"down0_pre": {"proj": {"kernel": jnp.zeros((2, 2, 5, 7))}},
+                  "other": jnp.zeros((3,))}
+    target = {"params": new_params, "opt": optax.adam(1e-3).init(new_params),
+              "step": 0}
+
+    for partial in (True, False):
+        restored = ckpt.load_checkpoint(path, target, partial=partial)
+        np.testing.assert_allclose(
+            np.asarray(restored["params"]["down0_pre"]["proj"]["kernel"]),
+            old_kernel.reshape(2, 2, 5, 7), err_msg=f"partial={partial}",
+        )
+        assert int(restored["step"]) == 7
+    # opt-state momenta migrate too on the non-partial path
     np.testing.assert_allclose(
-        np.asarray(restored["down0_pre"]["proj"]["kernel"]),
-        old_kernel.reshape(2, 2, 5, 7),
+        np.asarray(restored["opt"][0].mu["down0_pre"]["proj"]["kernel"]).ravel(),
+        np.asarray(opt[0].mu["down0_pre"]["proj"]["kernel"]).ravel(),
     )
+
+    # a genuinely incompatible shape still fails loudly non-partially
+    bad_params = {"down0_pre": {"proj": {"kernel": jnp.zeros((2, 2, 5, 7))}},
+                  "other": jnp.zeros((4,))}
+    bad = {"params": bad_params, "opt": optax.adam(1e-3).init(bad_params),
+           "step": 0}
+    with pytest.raises(Exception):
+        ckpt.load_checkpoint(path, bad, partial=False)
