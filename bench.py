@@ -28,7 +28,11 @@ import jax
 import jax.numpy as jnp
 
 REFERENCE_TIMESTEPS = (1024, 256, 256)  # train.py:91
-BENCH_TIMESTEPS = 8
+# scan length per measured sample_stage call: production runs 256+ steps
+# per call, so per-CALL costs (one-time bf16 weight cast, lowres prep)
+# amortize away; 16 keeps compile time sane while halving the per-step
+# bias those costs add at 8
+BENCH_TIMESTEPS = 16
 # production wave batching (sample/gigapixel.py): stages <=256² amortize
 # weight streaming across a wave of patches; the 1024² stage saturates
 # the chip at batch 1 (measured: batch 2 is 1.37x slower per patch)

@@ -30,6 +30,10 @@ def parse_args():
     p.add_argument("--sample_dir", type=str, default="samples")
     p.add_argument("--max_wave_batch", type=int, default=16)
     p.add_argument("--seed", type=int, default=None)
+    p.add_argument("--ddim_steps", type=int, default=0,
+                   help="DDIM fast sampling with N steps")
+    p.add_argument("--dpmpp_steps", type=int, default=0,
+                   help="DPM-Solver++(2M) fast sampling with N steps")
     return p.parse_args()
 
 
@@ -50,6 +54,8 @@ def main():
         overlap=args.overlap,
         inpaint_resample_times=args.inpaint_resample,
         max_wave_batch=args.max_wave_batch,
+        ddim_steps=args.ddim_steps,
+        dpmpp_steps=args.dpmpp_steps,
     )
     out = f"{args.sample_dir}/OUTPAINT-{uuid4().hex[:8]}.jpg"
     save_image(canvas, out)

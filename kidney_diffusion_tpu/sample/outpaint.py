@@ -31,6 +31,8 @@ def generate_outpainted_image(
     max_wave_batch: int = 16,
     patch_size: int = PATCH_SIZE,
     progress: bool = True,
+    ddim_steps: int = 0,
+    dpmpp_steps: int = 0,
 ) -> np.ndarray:
     """Generate an (W, W, 3) uint8 image, W = patch_size + (N-1)·dist."""
     patch_pos = full_grid(num_patches_width)
@@ -52,6 +54,8 @@ def generate_outpainted_image(
         inpaint_resample_times=inpaint_resample_times,
         max_wave_batch=max_wave_batch,
         progress=progress,
+        ddim_steps=ddim_steps,
+        dpmpp_steps=dpmpp_steps,
     )
 
     patch_dist = grid.patch_dist
