@@ -43,13 +43,9 @@ def parse_args():
 
 def main():
     args = parse_args()
-    multihost = setup_distributed(args)
+    mesh = setup_distributed(args)
+    multihost = mesh is not None
     chunks = max(args.batch_size // args.max_batch_size, 1)
-    mesh = None
-    if multihost:
-        from ..parallel.mesh import make_mesh
-
-        mesh = make_mesh()
     trainer = Trainer(
         Cascade(kumar()),
         only_train_unet_number=args.unet_number,

@@ -34,20 +34,20 @@ def add_distributed_args(p) -> None:
     p.add_argument("--process_id", type=int, default=None)
 
 
-def setup_distributed(args) -> bool:
-    """Initialise multi-host JAX when --multihost is given. Returns True
-    iff running multi-host; callers then build a global mesh and turn on
-    per-process data sharding."""
+def setup_distributed(args):
+    """Initialise multi-host JAX when --multihost is given. Returns the
+    global device mesh to train over (None when single-host); callers
+    turn on per-process data sharding iff a mesh is returned."""
     if not getattr(args, "multihost", False):
-        return False
-    from ..parallel.mesh import initialize_distributed
+        return None
+    from ..parallel.mesh import initialize_distributed, make_mesh
 
     initialize_distributed(
         coordinator_address=args.coordinator_address,
         num_processes=args.num_processes,
         process_id=args.process_id,
     )
-    return True
+    return make_mesh()
 
 
 def run_training(

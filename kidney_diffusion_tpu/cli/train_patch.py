@@ -50,14 +50,10 @@ def parse_args():
 
 def main():
     args = parse_args()
-    multihost = setup_distributed(args)
+    mesh = setup_distributed(args)
+    multihost = mesh is not None
 
     config = patch_unconditional() if args.unconditional else patch_conditioned()
-    mesh = None
-    if multihost:
-        from ..parallel.mesh import make_mesh
-
-        mesh = make_mesh()
     trainer = Trainer(
         Cascade(config),
         only_train_unet_number=args.unet_number,

@@ -51,14 +51,10 @@ def parse_args():
 def main():
     args = parse_args()
     mag = args.magnification_level
-    multihost = setup_distributed(args)
+    mesh = setup_distributed(args)
+    multihost = mesh is not None
 
     config = ultra_res(mag, args.version)
-    mesh = None
-    if multihost:
-        from ..parallel.mesh import make_mesh
-
-        mesh = make_mesh()
     trainer = Trainer(
         Cascade(config),
         only_train_unet_number=args.unet_number,

@@ -478,7 +478,9 @@ def conv3x3(
 ):
     """3x3 SAME conv over NHWC with optional fused affine+SiLU prologue
     (`pro`: (B, 2, Cin) = [a; c] applied as silu(x*a + c)) and per-channel
-    sum/sumsq stats of the output (`want_stats` -> extra (B, 2, Cout)).
+    per-channel [sum, centered-sumsq] stats of the output
+    (`want_stats` -> extra (B, 2, Cout); variance-safe — see
+    xla_conv3x3).
 
     chunks>0: row-chunked input (B*chunks, rows, W, Cin) — the conv runs
     VALID-H over halo-exchanged chunks (exact SAME semantics on the

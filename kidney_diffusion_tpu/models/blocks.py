@@ -120,17 +120,16 @@ def gn_film_affine(
     mu_g = mu_c.reshape(b, groups, cpg).mean(-1)   # (B, G)
     spread = ((mu_c.reshape(b, groups, cpg) - mu_g[:, :, None]) ** 2).mean(-1)
     var = var_c.reshape(b, groups, cpg).mean(-1) + spread
-    mu = mu_g
     rstd = jax.lax.rsqrt(jnp.maximum(var, 0.0) + eps)  # (B, G)
 
     def per_channel(g):  # (B, G) -> (B, C)
         return jnp.broadcast_to(g[:, :, None], (b, groups, cpg)).reshape(b, c)
 
-    mu_c, rstd_c = per_channel(mu), per_channel(rstd)
+    mu_bc, rstd_c = per_channel(mu_g), per_channel(rstd)
     gamma = gamma.astype(jnp.float32)[None, :]
     beta = beta.astype(jnp.float32)[None, :]
     a = gamma * rstd_c
-    cc = beta - mu_c * rstd_c * gamma
+    cc = beta - mu_bc * rstd_c * gamma
     if scale_shift is not None:
         scale, shift = scale_shift
         scale = scale.astype(jnp.float32) + 1.0
@@ -189,8 +188,9 @@ class Upsample(nn.Module):
 class Block(nn.Module):
     """3x3 conv -> GroupNorm -> (FiLM scale/shift) -> SiLU.
 
-    The GroupNorm is computed from the conv kernel's fused sum/sumsq
-    epilogue and folded (with FiLM) to a per-(batch, channel) affine.
+    The GroupNorm is computed from the conv kernel's fused
+    [sum, centered-sumsq] stats epilogue and folded (with FiLM) to a
+    per-(batch, channel) affine.
     With `defer=True` the affine is returned instead of applied, so the
     caller can fuse it into the NEXT conv's prologue (the normalized map
     never round-trips through HBM). `pro` is such a deferred affine for

@@ -279,23 +279,16 @@ class EfficientUNet(nn.Module):
         if ch:
             from ..kernels.conv3x3 import halo_pad
 
-            out = nn.Conv(
-                cfg.channels,
-                (3, 3),
-                padding=((0, 0), (1, 1)),
-                dtype=jnp.float32,
-                kernel_init=nn.initializers.zeros,
-                name="final_conv",
-            )(halo_pad(x, ch).astype(jnp.float32))
-            return unchunked(out)
+            x = halo_pad(x, ch)
         out = nn.Conv(
             cfg.channels,
             (3, 3),
+            padding=((0, 0), (1, 1)) if ch else "SAME",
             dtype=jnp.float32,
             kernel_init=nn.initializers.zeros,
             name="final_conv",
         )(x.astype(jnp.float32))
-        return out
+        return unchunked(out)
 
 
 class NullUNet:

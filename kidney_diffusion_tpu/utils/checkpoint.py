@@ -75,22 +75,22 @@ def save_checkpoint(path: str, tree: Any, *, metadata: Optional[dict] = None) ->
     delete."""
     p = _path(path)
     ckptr = _checkpointer()
-    multihost = jax.process_count() > 1
+
+    def barrier(name):
+        if jax.process_count() > 1:
+            from jax.experimental import multihost_utils
+
+            multihost_utils.sync_global_devices(name)
+
     if jax.process_index() == 0 and p.exists():
         p.rmtree()
-    if multihost:
-        from jax.experimental import multihost_utils
-
-        multihost_utils.sync_global_devices("kdt_ckpt_pre_save")
+    barrier("kdt_ckpt_pre_save")
     ckptr.save(p, tree)
     ckptr.wait_until_finished()
     if jax.process_index() == 0:
         meta = {"version": __version__, **(metadata or {})}
         (p / _META_NAME).write_text(json.dumps(meta))
-    if multihost:
-        from jax.experimental import multihost_utils
-
-        multihost_utils.sync_global_devices("kdt_ckpt_post_save")
+    barrier("kdt_ckpt_post_save")
 
 
 def checkpoint_exists(path: str) -> bool:

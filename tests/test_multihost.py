@@ -104,14 +104,15 @@ def test_setup_distributed_flag(monkeypatch):
     train_loop.add_distributed_args(p)
 
     args = p.parse_args([])
-    assert train_loop.setup_distributed(args) is False
+    assert train_loop.setup_distributed(args) is None
     assert calls == []
 
     args = p.parse_args(
         ["--multihost", "--coordinator_address", "host:1234",
          "--num_processes", "4", "--process_id", "2"]
     )
-    assert train_loop.setup_distributed(args) is True
+    mesh = train_loop.setup_distributed(args)
+    assert mesh is not None and mesh.shape["data"] * mesh.shape["model"] == len(jax.devices())
     assert calls == [{
         "coordinator_address": "host:1234",
         "num_processes": 4,
