@@ -350,3 +350,29 @@ def test_gigapixel_determinism():
         for _ in range(2)
     ]
     np.testing.assert_array_equal(outs[0], outs[1])
+
+
+@pytest.mark.slow
+def test_generate_patch_set_fast_samplers():
+    """--dpmpp_steps / --ddim_steps flow through the wave orchestrator:
+    overlap patches still blend (RePaint rides the fast samplers)."""
+    from kidney_diffusion_tpu.cascade import Cascade
+    from kidney_diffusion_tpu.models.configs import tiny_test_cascade
+    from kidney_diffusion_tpu.sample.gigapixel import generate_patch_set
+
+    cc = tiny_test_cascade(cond_images_channels=3, image_sizes=(16, 32), timesteps=4)
+    cas = Cascade(cc)
+    params = [cas.init_stage_params(jax.random.PRNGKey(i), i + 1) for i in range(2)]
+    grid = GridSpec(patch_width=16, patch_dist=12, num_patches_width=2, overlap=0.25)
+    pos = full_grid(2)
+    cond = np.random.default_rng(0).uniform(size=(4, 32, 32, 3)).astype(np.float32)
+
+    for kw in ({"dpmpp_steps": 4}, {"ddim_steps": 4}):
+        patches = generate_patch_set(
+            cas, params, jax.random.PRNGKey(0),
+            patch_pos=pos, grid=grid, cond_images=cond, progress=False, **kw,
+        )
+        assert set(patches) == set(pos), kw
+        for p in patches.values():
+            assert p.shape == (32, 32, 3)
+            assert np.isfinite(np.asarray(p, np.float32)).all()
