@@ -204,3 +204,25 @@ def test_cfg_scale_one_equals_cond_path(cascade, stage_params):
         text_embeds=text, cond_images=cond,
     )
     np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-6)
+
+
+def test_sampler_precedence():
+    """EDM stages ignore fast-sampler flags; dpmpp overrides ddim."""
+    import dataclasses
+
+    from kidney_diffusion_tpu.cascade import Cascade
+    from kidney_diffusion_tpu.models.configs import tiny_test_cascade
+
+    c = Cascade(tiny_test_cascade())
+    params = c.init_stage_params(jax.random.PRNGKey(0), 1)
+    key = jax.random.PRNGKey(1)
+
+    # dpmpp (6 steps) takes precedence over ddim flags: the output must
+    # equal a pure-dpmpp run even when ddim is also requested
+    a = c.sample_stage(params, 1, key, batch_size=1, dpmpp_steps=6)
+    b = c.sample_stage(params, 1, key, batch_size=1, dpmpp_steps=6,
+                       use_ddim=True, ddim_steps=50)
+    np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    # and differs from the ddim-only run
+    d = c.sample_stage(params, 1, key, batch_size=1, use_ddim=True, ddim_steps=50)
+    assert np.abs(np.asarray(a) - np.asarray(d)).max() > 0

@@ -259,3 +259,36 @@ def test_spatial_chunks_fallback_on_unchunkable_shapes():
     t = jnp.zeros((1,))
     p = m.init(jax.random.PRNGKey(0), x, t)
     assert m.apply(p, x, t).shape == (1, 20, 20, 3)
+
+
+def test_spatial_chunks_production_topology():
+    """The sr1024 training-crop case: 4 levels, chunks=8, H=256 ->
+    2 rows per chunk at the deepest level. Equivalence must hold at
+    this boundary topology."""
+    import dataclasses
+
+    cfg0 = UNetConfig(
+        dim=8, dim_mults=(1, 1, 2, 2), channels=3, num_resnet_blocks=1,
+        layer_attns=False, layer_cross_attns=False, memory_efficient=True,
+        lowres_cond=True, groups=4, dtype="float32",
+    )
+    cfg8 = dataclasses.replace(cfg0, spatial_chunks=8)
+
+    rng = np.random.RandomState(0)
+    H = 256  # 256 / 8 / 2^4 = 2 rows per chunk at the deepest level
+    x = jnp.asarray(rng.rand(1, H, H, 3).astype(np.float32))
+    lr = jnp.asarray(rng.rand(1, H, H, 3).astype(np.float32))
+    t = jnp.asarray(rng.rand(1).astype(np.float32))
+
+    m0, m8 = EfficientUNet(cfg0), EfficientUNet(cfg8)
+    p = m0.init(jax.random.PRNGKey(0), x, t, lowres_cond_img=lr,
+                lowres_noise_times=t)
+    leaves, td = jax.tree_util.tree_flatten(p)
+    keys = jax.random.split(jax.random.PRNGKey(1), len(leaves))
+    p = jax.tree_util.tree_unflatten(
+        td, [0.1 * jax.random.normal(k, l.shape, l.dtype) for k, l in zip(keys, leaves)]
+    )
+    kw = dict(lowres_cond_img=lr, lowres_noise_times=t)
+    y0 = m0.apply(p, x, t, **kw)
+    y8 = m8.apply(p, x, t, **kw)
+    np.testing.assert_allclose(np.asarray(y8), np.asarray(y0), atol=1e-4)
