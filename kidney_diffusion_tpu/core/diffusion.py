@@ -359,13 +359,17 @@ def dpmpp_sample_loop(
 
         h_prev = lam - lam_prev
         r2 = 2.0 * h_prev / jnp.where(jnp.abs(h) < 1e-12, 1e-12, h)
-        r2 = jnp.where(jnp.abs(r2) < 1e-12, 1.0, r2)  # first step: no
-        # history (h_prev = 0); the value is discarded by the select
+        r2 = jnp.where(jnp.abs(r2) < 1e-12, 1.0, r2)  # keep 1/r2 finite
         d2 = (1.0 + 1.0 / r2) * x0 - (1.0 / r2) * x0_prev
-        # first step has no history; final step drops to first order
-        # (lower_order_final — stabilises the lambda -> inf endpoint)
+        # Drop to first order whenever there is no usable history:
+        # the first step, the final step (lower_order_final — stabilises
+        # the lambda -> inf endpoint), AND any re-invocation at a repeated
+        # t (h_prev ~ 0) — RePaint resampling re-enters the update at the
+        # same time after renoising, where the second-order difference
+        # against a pre-renoise x0 is an unintended extrapolation.
         is_last = _right_pad_dims_to(x, (t_next <= 0.0).astype(jnp.float32))
-        d = jnp.where((is_first > 0) | (is_last > 0), x0, d2)
+        no_history = (jnp.abs(h_prev) < 1e-8).astype(jnp.float32)
+        d = jnp.where((is_first > 0) | (is_last > 0) | (no_history > 0), x0, d2)
 
         x_new = (sigma_next / sigma) * x - alpha_next * jnp.expm1(-h) * d
         return x_new, (x0, lam, jnp.float32(0.0))

@@ -27,6 +27,7 @@ import numpy as np
 
 from ..ops.augment import NUM_FLIPS_ROTATIONS, NUM_TRANSLATIONS, flip_rotate, translation_offset
 from ..ops.image import tissue_mask
+from . import wsi
 from .wsi import Slide, resize_nearest
 
 # Kidney outcomes ordered by severity; DWFG intentionally excluded
@@ -260,8 +261,12 @@ class PatientDataset:
                 dx, dy = translation_offset(index, self.patch_size)
                 x, y = x + dx, y + dy
             slide = self.slides[self.train_slide_ids[slide_idx]]
-            region = slide.read_region(
-                int(x), int(y), self.patch_size, self.patch_size,
+            # clamp+fill read: a translated patch straddling the slide
+            # edge comes back edge-filled at true geometry, never
+            # stretched (wsi.read_region_filled; matches slideio's
+            # read_block padding semantics)
+            region = wsi.read_region_filled(
+                slide, int(x), int(y), self.patch_size, self.patch_size,
                 self.image_size, self.image_size,
             )
             patch = region.astype(np.float32) / 255.0

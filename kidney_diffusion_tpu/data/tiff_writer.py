@@ -47,6 +47,8 @@ _TYPE_ASCII = 2
 
 COMPRESSION_NONE = 1
 COMPRESSION_JPEG = 7  # "new-style" JPEG: each tile a full JFIF stream
+COMPRESSION_J2K_YCBCR = 33003  # Aperio JPEG2000, YCbCr components
+COMPRESSION_J2K_RGB = 33005    # Aperio JPEG2000, RGB components
 
 
 def _encode_tile(tile: np.ndarray, compression: int, quality: int) -> bytes:
@@ -59,6 +61,23 @@ def _encode_tile(tile: np.ndarray, compression: int, quality: int) -> bytes:
         # 4:4:4 — with photometric RGB, libtiff rejects subsampled tiles
         # ("Improper JPEG sampling factors")
         Image.fromarray(tile).save(buf, "JPEG", quality=quality, subsampling=0)
+        return buf.getvalue()
+    if compression in (COMPRESSION_J2K_RGB, COMPRESSION_J2K_YCBCR):
+        from PIL import Image
+
+        if compression == COMPRESSION_J2K_YCBCR:
+            # Aperio 33003: the RGB->YCbCr transform happens OUTSIDE the
+            # codestream; encode full-range BT.601 YCbCr planes
+            rgb = tile.astype(np.float32)
+            r, g, b = rgb[..., 0], rgb[..., 1], rgb[..., 2]
+            tile = np.clip(np.stack([
+                0.299 * r + 0.587 * g + 0.114 * b,
+                128.0 - 0.168736 * r - 0.331264 * g + 0.5 * b,
+                128.0 + 0.5 * r - 0.418688 * g - 0.081312 * b,
+            ], axis=-1), 0, 255).astype(np.uint8)
+        buf = io.BytesIO()
+        # raw J2K codestream (no JP2 container), the Aperio tile layout
+        Image.fromarray(tile).save(buf, "JPEG2000", no_jp2=True)
         return buf.getvalue()
     raise ValueError(f"unsupported compression {compression}")
 
@@ -160,6 +179,8 @@ def write_tiled_tiff(
                 # (photometric RGB would make it read raw YCbCr planes)
                 ifd.put(_PHOTOMETRIC, _TYPE_SHORT, [6])
                 ifd.put(_YCBCR_SUBSAMPLING, _TYPE_SHORT, [1, 1])
+            elif compression == COMPRESSION_J2K_YCBCR:
+                ifd.put(_PHOTOMETRIC, _TYPE_SHORT, [6])  # Aperio layout
             else:
                 ifd.put(_PHOTOMETRIC, _TYPE_SHORT, [2])  # RGB
             if descriptions and page_idx < len(descriptions):

@@ -112,6 +112,11 @@ def open_slide(path: str) -> "Slide":
     if native.available():
         try:
             return native.NativeSlide(path)
+        except native.UnsupportedSlideError:
+            # codec undecodable by EVERY in-image backend (e.g. J2K SVS
+            # without a J2K decoder): fail loudly — a PIL whole-image
+            # fallback would fail too, just later and more confusingly
+            raise
         except Exception as e:  # not a TIFF container, or engine failure
             print(f"[wsi] native reader failed on {path} ({e!r}); "
                   "trying slideio/PIL", flush=True)
@@ -136,6 +141,48 @@ def resize_nearest(img: np.ndarray, out_w: int, out_h: int) -> np.ndarray:
     ys = np.clip((np.arange(out_h) + 0.5) * h / out_h, 0, h - 1).astype(np.int64)
     xs = np.clip((np.arange(out_w) + 0.5) * w / out_w, 0, w - 1).astype(np.int64)
     return img[ys][:, xs]
+
+
+def read_region_filled(
+    slide: Slide,
+    x: int,
+    y: int,
+    w: int,
+    h: int,
+    out_w: int,
+    out_h: int,
+    *,
+    fill_color: Tuple[int, int, int] = FILL_COLOR,
+) -> np.ndarray:
+    """OOB-safe read of the rect (x, y, w, h) resampled to (out_h, out_w):
+    the in-bounds part is read and placed at its true geometric offset,
+    everything outside the slide is fill_color — matching the reference's
+    slideio.read_block edge semantics (slideio pads, it never stretches;
+    /root/reference/patient_dataset.py:219). Use this instead of raw
+    `slide.read_region` whenever (x, y) can fall near a slide edge."""
+    width, height = slide.size
+    scale_x = out_w / w
+    scale_y = out_h / h
+
+    rx = max(x, 0)
+    ry = max(y, 0)
+    rw = min(width - rx, w - max(-x, 0))
+    rh = min(height - ry, h - max(-y, 0))
+
+    if rx == x and ry == y and rw == w and rh == h:
+        return slide.read_region(x, y, w, h, out_w, out_h)
+
+    out = np.empty((out_h, out_w, 3), np.uint8)
+    out[:] = np.asarray(fill_color, np.uint8)
+    if rw > 0 and rh > 0:
+        sub_w = int(rw * scale_x)
+        sub_h = int(rh * scale_y)
+        if sub_w > 0 and sub_h > 0:
+            region = slide.read_region(rx, ry, rw, rh, sub_w, sub_h)
+            ox = int((rx - x) * scale_x)
+            oy = int((ry - y) * scale_y)
+            out[oy : oy + sub_h, ox : ox + sub_w] = region[..., :3]
+    return out
 
 
 def read_block(

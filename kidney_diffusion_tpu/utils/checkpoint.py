@@ -121,11 +121,18 @@ def load_checkpoint(path: str, target: Any, *, partial: bool = False) -> Any:
     if not partial:
         try:
             return ckptr.restore(p, target)
-        except Exception:
-            # shape mismatch: retry restoring into the SAVED shapes and
-            # apply layout migrations (_adapt_leaf) afterwards — same
-            # tree structure required
-            return _restore_with_migrations(ckptr, p, target, path)
+        except Exception as e:
+            # Only a shape/dtype mismatch is retried via layout migrations
+            # (_adapt_leaf); anything else (corrupt checkpoint, IO error,
+            # sharding failure) must surface as-is rather than resurface
+            # as a misleading migration error.
+            msg = str(e).lower()
+            if not any(s in msg for s in ("shape", "dtype", "mismatch")):
+                raise
+            try:
+                return _restore_with_migrations(ckptr, p, target, path)
+            except Exception as e2:
+                raise e2 from e  # keep the original restore error chained
 
     # shape-tolerant: restore with raw structure, then merge
     try:

@@ -69,6 +69,8 @@ class MetricsLogger:
         sample cadence, /root/reference/train.py:240-242). Logged to
         wandb when available; always recorded in the JSONL stream (by
         path, not pixels) so headless runs keep an auditable trail."""
+        if image is None and path is None:
+            raise ValueError("log_image needs `image` or `path`")
         if self._file is None:
             return
         if self._wandb is not None:

@@ -26,6 +26,7 @@
 
 extern "C" {
 typedef struct tiff TIFF;
+typedef int64_t tmsize_t_;  // tmsize_t == ssize_t on LP64
 TIFF* TIFFOpen(const char*, const char*);
 void TIFFClose(TIFF*);
 int TIFFGetField(TIFF*, uint32_t tag, ...);
@@ -35,6 +36,8 @@ int TIFFReadRGBATile(TIFF*, uint32_t x, uint32_t y, uint32_t* raster);
 int TIFFIsTiled(TIFF*);
 int TIFFReadRGBAImageOriented(TIFF*, uint32_t w, uint32_t h, uint32_t* raster,
                               int orientation, int stop_on_error);
+uint32_t TIFFComputeTile(TIFF*, uint32_t x, uint32_t y, uint32_t z, uint16_t sample);
+tmsize_t_ TIFFReadRawTile(TIFF*, uint32_t tile, void* buf, tmsize_t_ size);
 typedef void (*TIFFErrorHandler)(const char*, const char*, va_list);
 TIFFErrorHandler TIFFSetErrorHandler(TIFFErrorHandler);
 TIFFErrorHandler TIFFSetWarningHandler(TIFFErrorHandler);
@@ -42,9 +45,15 @@ TIFFErrorHandler TIFFSetWarningHandler(TIFFErrorHandler);
 
 static const uint32_t TAG_IMAGEWIDTH = 256;
 static const uint32_t TAG_IMAGELENGTH = 257;
+static const uint32_t TAG_COMPRESSION = 259;
 static const uint32_t TAG_TILEWIDTH = 322;
 static const uint32_t TAG_TILELENGTH = 323;
 static const int ORIENTATION_TOPLEFT_ = 1;
+// Aperio JPEG2000 compression codes (YCbCr / RGB codestreams); libtiff
+// has no codec for these — tiles must be fetched raw and decoded by the
+// caller (data/native.py routes them through an external J2K decoder)
+static const uint16_t COMPRESSION_APERIO_J2K_YCBCR = 33003;
+static const uint16_t COMPRESSION_APERIO_J2K_RGB = 33005;
 
 // ---------------------------------------------------------------------------
 // helpers
@@ -215,6 +224,7 @@ struct KdtTiff {
   int64_t height;
   int64_t tile_w;
   int64_t tile_h;
+  uint16_t compression;
 };
 
 static void kdt_quiet_handler(const char*, const char*, va_list) {}
@@ -224,14 +234,47 @@ void* kdt_tiff_open(const char* path) {
   TIFF* tif = TIFFOpen(path, "r");
   if (!tif) return nullptr;
   uint32_t w = 0, h = 0, tw = 0, th = 0;
+  uint16_t comp = 1;
   TIFFGetField(tif, TAG_IMAGEWIDTH, &w);
   TIFFGetField(tif, TAG_IMAGELENGTH, &h);
+  TIFFGetField(tif, TAG_COMPRESSION, &comp);
   if (TIFFIsTiled(tif)) {
     TIFFGetField(tif, TAG_TILEWIDTH, &tw);
     TIFFGetField(tif, TAG_TILELENGTH, &th);
   }
-  auto* s = new KdtTiff{tif, (int64_t)w, (int64_t)h, (int64_t)tw, (int64_t)th};
+  auto* s = new KdtTiff{tif, (int64_t)w, (int64_t)h, (int64_t)tw, (int64_t)th,
+                        comp};
   return s;
+}
+
+// COMPRESSION tag (259) of the level-0 directory; lets the caller detect
+// codecs libtiff cannot decode (Aperio J2K: 33003/33005).
+int kdt_tiff_compression(void* handle) {
+  auto* s = (KdtTiff*)handle;
+  if (!s) return -1;
+  return (int)s->compression;
+}
+
+int kdt_tiff_tile_dims(void* handle, int64_t* tw, int64_t* th) {
+  auto* s = (KdtTiff*)handle;
+  if (!s) return -1;
+  *tw = s->tile_w;
+  *th = s->tile_h;
+  return 0;
+}
+
+// Raw (compressed) bytes of the tile containing pixel (x, y). Returns the
+// byte count, or -1 on error. Used for Aperio J2K tiles, whose
+// codestreams are decoded by the caller.
+int64_t kdt_tiff_read_raw_tile(void* handle, int64_t x, int64_t y,
+                               uint8_t* buf, int64_t bufsize) {
+  auto* s = (KdtTiff*)handle;
+  if (!s || s->tile_w <= 0 || x < 0 || y < 0 || x >= s->width ||
+      y >= s->height)
+    return -1;
+  uint32_t tile = TIFFComputeTile(s->tif, (uint32_t)x, (uint32_t)y, 0, 0);
+  tmsize_t_ n = TIFFReadRawTile(s->tif, tile, buf, (tmsize_t_)bufsize);
+  return (int64_t)n;
 }
 
 void kdt_tiff_close(void* handle) {
@@ -256,6 +299,9 @@ int kdt_tiff_read_region(void* handle, int64_t x, int64_t y, int64_t w,
                          uint8_t* out) {
   auto* s = (KdtTiff*)handle;
   if (!s || w <= 0 || h <= 0 || out_w <= 0 || out_h <= 0) return -1;
+  if (s->compression == COMPRESSION_APERIO_J2K_YCBCR ||
+      s->compression == COMPRESSION_APERIO_J2K_RGB)
+    return -3;  // codec unsupported by libtiff: use kdt_tiff_read_raw_tile
   x = clamp64(x, 0, s->width - 1);
   y = clamp64(y, 0, s->height - 1);
   w = std::min(w, s->width - x);

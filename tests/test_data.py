@@ -141,6 +141,53 @@ def test_read_block_and_zoomed_concentric():
     np.testing.assert_allclose(zoomed[10, 10], patch[10, 10], atol=0.06)
 
 
+def test_read_region_filled_edge_pads_not_stretches():
+    from kidney_diffusion_tpu.data.wsi import read_region_filled
+
+    slide = _gradient_slide(300, 200)
+    fill = (242, 243, 242)
+    # 64x64 read straddling the right edge by 32 px, no resampling
+    out = read_region_filled(slide, 268, 0, 64, 64, 64, 64, fill_color=fill)
+    assert out.shape == (64, 64, 3)
+    # in-bounds half: exact image pixels at true geometry (no stretch)
+    np.testing.assert_array_equal(out[:, :32], slide.image[0:64, 268:300])
+    # out-of-bounds half: fill color
+    np.testing.assert_array_equal(
+        out[:, 32:], np.broadcast_to(np.asarray(fill, np.uint8), (64, 32, 3))
+    )
+    # fully in-bounds call defers to the plain read
+    inb = read_region_filled(slide, 10, 10, 64, 64, 64, 64, fill_color=fill)
+    np.testing.assert_array_equal(inb, slide.image[10:74, 10:74])
+
+
+def test_patient_dataset_edge_patch_filled():
+    """A translated unannotated patch straddling the slide edge must come
+    back edge-FILLED at true geometry, not stretched (reference slideio
+    read_block pads OOB; /root/reference/patient_dataset.py:219)."""
+    from kidney_diffusion_tpu.data.patient import PatientDataset, PatientMetadata
+    from kidney_diffusion_tpu.ops.augment import NUM_FLIPS_ROTATIONS
+
+    slide = _gradient_slide(300, 200)
+    ds = PatientDataset(
+        {"s": slide}, PatientMetadata({}),
+        patch_size=64, image_size=64, transformations=True, unconditional=True,
+    )
+    # pin one patch whose +half-x translation crosses the right edge
+    ds.train_slide_ids = ["s"]
+    ds.patch_positions = [[(236, 0)]]
+    ds.num_train_patches = 1
+    # index = 1*NUM_FLIPS_ROTATIONS -> translation (dx=32, dy=0), identity flip
+    patch = ds[NUM_FLIPS_ROTATIONS]
+    assert patch.shape == (64, 64, 3)
+    np.testing.assert_allclose(
+        patch[:, :32], slide.image[0:64, 268:300].astype(np.float32) / 255.0
+    )
+    np.testing.assert_allclose(
+        patch[:, 32:],
+        np.broadcast_to(np.asarray([242, 243, 242], np.float32) / 255.0, (64, 32, 3)),
+    )
+
+
 def test_inner_patch_width():
     assert inner_patch_width(1) == int(6500 * 1024 / 40000)
     assert inner_patch_width(2) == int(1024 * 1024 / 6500)

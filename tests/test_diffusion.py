@@ -291,3 +291,84 @@ def test_dpmpp_matches_numpy_reference():
         jax.random.PRNGKey(5), objective="noise", num_steps=num_steps,
     )
     np.testing.assert_allclose(np.asarray(out), ref, atol=1e-3)
+
+
+def test_dpmpp_inpaint_resample_matches_numpy_reference():
+    """Pin the dpmpp x RePaint-resampling path (--dpmpp_steps +
+    --inpaint_resample in sample_ultra_res/outpainting) step-for-step:
+    a numpy transcription of Algorithm 2 interleaved with the RePaint
+    blend/renoise contract. Within a resample round the solver re-enters
+    the update at the SAME t (h_prev = 0) and must drop to first order
+    (d = x0) — not extrapolate 2*x0 - x0_prev across the renoise."""
+    from kidney_diffusion_tpu.core.diffusion import dpmpp_sample_loop
+
+    gd = GaussianDiffusion(num_timesteps=64)
+    shape = (1, 4, 4, 3)
+    target = np.full(shape, 0.2, np.float32)
+    num_steps = 8
+    resample_times = 3
+
+    known = jnp.full(shape, -0.6, jnp.float32)
+    mask_2d = jnp.zeros((1, 4, 4)).at[:, :2, :].set(1.0)
+    mask = np.asarray(mask_2d)[..., None]
+
+    def log_snr(t):
+        return float(gd.log_snr(jnp.float32(t)))
+
+    def alpha_sigma(t):
+        ls = log_snr(t)
+        return np.sqrt(1 / (1 + np.exp(-ls))), np.sqrt(1 / (1 + np.exp(ls)))
+
+    # mirror the jax loop's RNG stream exactly
+    key = jax.random.PRNGKey(7)
+    key, init_key = jax.random.split(key)
+    x = np.asarray(jax.random.normal(init_key, shape, jnp.float32))
+
+    times = np.linspace(1.0, 0.0, num_steps + 1, dtype=np.float32)
+    x0_prev = np.zeros(shape, np.float32)
+    lam_prev = 0.5 * log_snr(1.0)
+    is_first = True
+    for i in range(num_steps):
+        t, t_next = float(times[i]), float(times[i + 1])
+        for r in range(resample_times):
+            key, k1, k2, k3 = jax.random.split(key, 4)
+            tb = jnp.full((1,), t, jnp.float32)
+            noised = np.asarray(
+                gd.q_sample(known, tb, jax.random.normal(k1, shape, jnp.float32))[0]
+            )
+            x = x * (1.0 - mask) + noised * mask
+            # --- dpmpp 2M update (numpy transcription) ---
+            x0 = np.broadcast_to(target, x.shape)  # oracle; threshold no-op
+            lam = 0.5 * log_snr(t)
+            lam_next = 0.5 * log_snr(t_next)
+            h = lam_next - lam
+            _, sigma = alpha_sigma(t)
+            alpha_next, sigma_next = alpha_sigma(t_next)
+            h_prev = lam - lam_prev
+            if is_first or i == num_steps - 1 or abs(h_prev) < 1e-8:
+                d = x0
+            else:
+                rr = h_prev / h
+                d = (1 + 1 / (2 * rr)) * x0 - (1 / (2 * rr)) * x0_prev
+            x = (sigma_next / sigma) * x - alpha_next * np.expm1(-h) * d
+            x0_prev, lam_prev, is_first = x0, lam, False
+            # --- renoise back to t for all but the last round ---
+            if r < resample_times - 1 and t_next > 0:
+                x = np.asarray(
+                    gd.q_sample_from_to(
+                        jnp.asarray(x),
+                        jnp.full((1,), t_next, jnp.float32),
+                        tb,
+                        jax.random.normal(k3, shape, jnp.float32),
+                    )
+                )
+    x = x * (1.0 - mask) + np.asarray(known) * mask
+    ref = np.clip(x, -1, 1)
+
+    out = dpmpp_sample_loop(
+        gd, _oracle_denoiser(gd, jnp.asarray(target)), shape,
+        jax.random.PRNGKey(7), objective="noise", num_steps=num_steps,
+        inpaint_images=known, inpaint_masks=mask_2d,
+        inpaint_resample_times=resample_times,
+    )
+    np.testing.assert_allclose(np.asarray(out), ref, atol=1e-3)

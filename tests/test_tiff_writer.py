@@ -149,3 +149,71 @@ def test_open_slide_dispatch(tmp_path):
     assert np.abs(r.astype(int) - img[:64, :64].astype(int)).max() <= 4
     if hasattr(slide, "close"):
         slide.close()
+
+
+# ---------------------------------------------------------------------------
+# Aperio JPEG2000 (compression 33003/33005)
+# ---------------------------------------------------------------------------
+
+needs_j2k = pytest.mark.skipif(
+    not native.pil_j2k_available(), reason="Pillow lacks jpg_2000"
+)
+
+
+@needs_native
+@needs_j2k
+def test_native_reads_j2k_rgb_tiles(tmp_path):
+    """Aperio 33005 (RGB J2K codestream tiles): raw tiles fetched in C++,
+    decoded via Pillow/openjpeg — matches slideio's role at
+    /root/reference/patient_dataset.py:118."""
+    from kidney_diffusion_tpu.data.tiff_writer import COMPRESSION_J2K_RGB
+
+    img = _smooth_img(256, 384, seed=21)
+    path = str(tmp_path / "j2k.svs")
+    write_tiled_tiff(path, [img], tile_size=(128, 128),
+                     compression=COMPRESSION_J2K_RGB)
+    slide = native.NativeSlide(path)
+    assert slide._compression == 33005
+    region = slide.read_region(100, 60, 200, 150, 200, 150)
+    assert np.abs(region.astype(int) - img[60:210, 100:300].astype(int)).max() <= 4
+    # resampled read crosses tile boundaries
+    small = slide.read_region(0, 0, 384, 256, 96, 64)
+    assert small.shape == (64, 96, 3)
+    slide.close()
+
+
+@needs_native
+@needs_j2k
+def test_native_reads_j2k_ycbcr_tiles(tmp_path):
+    """Aperio 33003 (YCbCr planes, colour transform outside the
+    codestream): the reader must apply BT.601 YCbCr->RGB itself."""
+    from kidney_diffusion_tpu.data.tiff_writer import COMPRESSION_J2K_YCBCR
+
+    img = _smooth_img(256, 256, seed=22)
+    path = str(tmp_path / "j2k_ycc.svs")
+    write_tiled_tiff(path, [img], tile_size=(128, 128),
+                     compression=COMPRESSION_J2K_YCBCR)
+    slide = native.NativeSlide(path)
+    region = slide.read_region(0, 0, 256, 256, 256, 256)
+    # lossy: J2K default rate + YCbCr round-trip; smooth image stays close
+    assert np.abs(region.astype(int) - img.astype(int)).mean() < 3
+    slide.close()
+
+
+@needs_native
+def test_j2k_without_decoder_raises_clear_error(tmp_path, monkeypatch):
+    """With no J2K decoder available, opening a J2K SVS must raise
+    UnsupportedSlideError loudly — including through open_slide (no
+    silent PIL fallback that would also fail)."""
+    from kidney_diffusion_tpu.data import wsi
+    from kidney_diffusion_tpu.data.tiff_writer import COMPRESSION_J2K_RGB
+
+    img = _smooth_img(128, 128, seed=23)
+    path = str(tmp_path / "j2k.svs")
+    write_tiled_tiff(path, [img], tile_size=(128, 128),
+                     compression=COMPRESSION_J2K_RGB)
+    monkeypatch.setattr(native, "pil_j2k_available", lambda: False)
+    with pytest.raises(native.UnsupportedSlideError, match="JPEG2000"):
+        native.NativeSlide(path)
+    with pytest.raises(native.UnsupportedSlideError, match="JPEG2000"):
+        wsi.open_slide(path)

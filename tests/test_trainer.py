@@ -139,6 +139,43 @@ def test_fsdp_mesh(cascade):
     assert np.isfinite(loss)
 
 
+def _assert_states_close(s1, s2, atol):
+    for a, b in zip(jax.tree.leaves(s1.params), jax.tree.leaves(s2.params)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=atol)
+    for a, b in zip(jax.tree.leaves(s1.ema_params), jax.tree.leaves(s2.ema_params)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=atol)
+
+
+def _parity_run(cascade, mesh, fsdp, steps=3, seed=11):
+    tr = Trainer(cascade, mesh=mesh, fsdp=fsdp, lr=1e-3, max_grad_norm=1.0, seed=seed)
+    losses = [tr.train_step(1, _batch(b=8, seed=s)) for s in range(steps)]
+    return tr, losses
+
+
+def test_data_parallel_parity_with_single_device(cascade):
+    """THE correctness property of the DDP replacement: an 8-device
+    data-parallel step on a global batch must equal the same step on one
+    device — same losses, same updated params/EMA (reduction-order
+    tolerance only)."""
+    tr1, losses1 = _parity_run(
+        cascade, make_mesh(data=1, model=1, devices=jax.devices()[:1]), False
+    )
+    tr8, losses8 = _parity_run(cascade, make_mesh(data=8, model=1), False)
+    np.testing.assert_allclose(losses1, losses8, atol=1e-5)
+    _assert_states_close(tr1.state(1), tr8.state(1), atol=1e-5)
+
+
+def test_fsdp_parity_with_single_device(cascade):
+    """2x4 dp x fsdp step == single-device step on the same global batch
+    (params gathered transparently by XLA; values must match)."""
+    tr1, losses1 = _parity_run(
+        cascade, make_mesh(data=1, model=1, devices=jax.devices()[:1]), False
+    )
+    trf, lossesf = _parity_run(cascade, make_mesh(data=2, model=4), True)
+    np.testing.assert_allclose(losses1, lossesf, atol=1e-5)
+    _assert_states_close(tr1.state(1), trf.state(1), atol=1e-5)
+
+
 def test_loader_tuple_protocol():
     from kidney_diffusion_tpu.data.pipeline import make_loader
 
