@@ -35,8 +35,11 @@ REFERENCE_TIMESTEPS = (1024, 256, 256)  # train.py:91
 BENCH_TIMESTEPS = 16
 # production wave batching (sample/gigapixel.py): stages <=256² amortize
 # weight streaming across a wave of patches; the 1024² stage saturates
-# the chip at batch 1 (measured: batch 2 is 1.37x slower per patch)
-STAGE_BATCH = (16, 16, 1)
+# the chip at batch 1 (measured: batch 2 is 1.37x slower per patch).
+# Round-3 sweep over {16, 32, 64, 128} (PERF.md): batching saturates by
+# 16; 32 is the flat optimum (stage 1 2.25 vs 2.31 ms, stage 2 3.05 vs
+# 3.08), 128 regresses.
+STAGE_BATCH = (32, 32, 1)
 
 
 def zeros_params(cascade, stage):
@@ -93,9 +96,62 @@ def measure():
     return per_step, cascade_seconds
 
 
+# DPM-Solver++(2M) serving operating point: the literature-standard
+# 25 steps per stage (vs the reference's 1024/256/256 ancestral steps)
+DPMPP_SERVING_STEPS = 25
+
+
+def measure_serving(per_step):
+    """Secondary metrics (VERDICT r2 #10): serving-mode cascade
+    throughput at dpmpp-25 per stage, and the stage-3 bf16 train-step
+    latency (batch 4, 256² random crops — the production training shape,
+    /root/reference/train_ultra_res.py:109-115)."""
+    import numpy as np
+
+    from kidney_diffusion_tpu.cascade import Cascade
+    from kidney_diffusion_tpu.models.configs import ultra_res
+    from kidney_diffusion_tpu.train import Trainer
+    from kidney_diffusion_tpu.train.trainer import StageState
+
+    # per-step cost is sampler-independent (same U-Net forward dominates;
+    # measured: dpmpp per-step within noise of ancestral) — serving
+    # throughput derives from the measured per-step latencies
+    serving_seconds = sum(t * DPMPP_SERVING_STEPS for t in per_step)
+
+    # stage-3 train step, measured (forward+backward+Adam under jit)
+    cascade = Cascade(ultra_res(0, "v_param"))
+    trainer = Trainer(cascade, max_grad_norm=1.0)
+    params = zeros_params(cascade, 3)
+    trainer._states[3] = trainer._place_state(
+        StageState(
+            params=params,
+            ema_params=jax.tree.map(
+                lambda p: jnp.array(p, jnp.float32, copy=True), params
+            ),
+            opt_state=trainer._optimizer().init(params),
+            step=jnp.zeros((), jnp.int32),
+        )
+    )
+    del params
+    rng = np.random.default_rng(0)
+    batch = {"images": rng.uniform(size=(4, 1024, 1024, 3)).astype(np.float32)}
+    trainer.train_step(3, batch)  # compile + warmup (train_step syncs: returns float)
+    best = float("inf")
+    for _ in range(2):
+        t0 = time.perf_counter()
+        trainer.train_step(3, batch)
+        best = min(best, time.perf_counter() - t0)
+    return {
+        "dpmpp25_serving_seconds_per_patch": serving_seconds,
+        "dpmpp25_serving_patches_per_sec": 1.0 / serving_seconds,
+        "stage3_train_step_ms_b4_crop256": best * 1e3,
+    }
+
+
 def main():
     per_step, cascade_seconds = measure()
     patches_per_sec = 1.0 / cascade_seconds
+    serving = measure_serving(per_step)
 
     details_path = os.path.join(os.path.dirname(__file__), "BENCH_DETAILS.json")
     with open(details_path, "w") as f:
@@ -105,6 +161,7 @@ def main():
                 "stage_batch": STAGE_BATCH,
                 "reference_timesteps": REFERENCE_TIMESTEPS,
                 "cascade_seconds_per_patch": cascade_seconds,
+                **serving,
             },
             f,
         )

@@ -28,7 +28,7 @@ def parse_args():
     p.add_argument("--overlap", type=float, default=0.25)
     p.add_argument("--inpaint_resample", type=int, default=1)
     p.add_argument("--sample_dir", type=str, default="samples")
-    p.add_argument("--max_wave_batch", type=int, default=16)
+    p.add_argument("--max_wave_batch", type=int, default=32)
     p.add_argument("--seed", type=int, default=None)
     p.add_argument("--ddim_steps", type=int, default=0,
                    help="DDIM fast sampling with N steps")

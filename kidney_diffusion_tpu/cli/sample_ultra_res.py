@@ -42,7 +42,7 @@ def parse_args():
     p.add_argument("--inpaint_resample", type=int, default=1)
     p.add_argument("--sample_dir", type=str, default="samples")
     p.add_argument("--ignore_unet_1", action="store_true")
-    p.add_argument("--max_wave_batch", type=int, default=16)
+    p.add_argument("--max_wave_batch", type=int, default=32)
     p.add_argument("--seed", type=int, default=None)
     p.add_argument("--stop_at_mag", type=int, default=2)
     p.add_argument("--dpmpp_steps", type=int, default=0,

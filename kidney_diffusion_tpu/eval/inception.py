@@ -190,8 +190,12 @@ class InceptionV3(nn.Module):
         return jnp.mean(x, axis=(1, 2))  # pool3
 
 
-def load_params(model: InceptionV3, weights_npz: Optional[str]):
-    """Init params; overwrite from a converted torch state dict when given."""
+def load_params(model: InceptionV3, weights_npz: Optional[str], *, strict: bool = False):
+    """Init params; overwrite from a converted torch state dict when given.
+
+    strict=True raises if ANY model leaf is absent from the weights file —
+    the completeness half of the FID-weights assertion chain
+    (tools/convert_fid_weights.py)."""
     init = model.init(
         jax.random.PRNGKey(0), jnp.zeros((1, 299, 299, 3), jnp.float32)
     )
@@ -223,6 +227,11 @@ def load_params(model: InceptionV3, weights_npz: Optional[str]):
         assert w.shape == leaf.shape, (torch_name, w.shape, leaf.shape)
         out.append(jnp.asarray(w, leaf.dtype))
     if missing:
+        if strict:
+            raise ValueError(
+                f"{len(missing)} model leaves missing from {weights_npz}: "
+                f"{missing[:8]}{'...' if len(missing) > 8 else ''}"
+            )
         print(f"[inception] {len(missing)} leaves missing from weights file, "
               f"kept random init: {missing[:4]}...")
     return jax.tree_util.tree_unflatten(treedef, out)

@@ -96,6 +96,7 @@ def _kernel(
     with_prologue: bool,
     with_stats: bool,
     out_dtype,
+    chunks: int = 0,
 ):
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
@@ -104,25 +105,53 @@ def _kernel(
     i = pl.program_id(1)
     n_i = pl.num_programs(1)
 
+    # Image-boundary predicates. Unchunked (chunks == 0): batch item bi IS
+    # one image, boundaries are tiles 0 / n_i-1. Row-chunked layout
+    # (models/unet.py spatial_chunks): batch item bi is chunk (bi % chunks)
+    # of an image whose chunks are contiguous top-to-bottom, so interior
+    # chunk boundaries pull their halo row from the NEIGHBOUR chunk's
+    # edge row — same semantics as halo_pad() without materialising the
+    # (rows+2)-padded copy in HBM.
+    if chunks:
+        at_img_top = (i == 0) & (bi % chunks == 0)
+        at_img_bot = (i == n_i - 1) & (bi % chunks == chunks - 1)
+        top_b = jnp.where(i == 0, bi - 1, bi)
+        top_r = jnp.where(i == 0, n_i * th - 1, i * th - 1)
+        bot_b = jnp.where(i == n_i - 1, bi + 1, bi)
+        bot_r = jnp.where(i == n_i - 1, 0, i * th + th)
+        # clamp for the masked-off boundary cases (DMA is gated but the
+        # address computation must stay in range)
+        nb = pl.num_programs(0)
+        top_b = jnp.clip(top_b, 0, nb - 1)
+        bot_b = jnp.clip(bot_b, 0, nb - 1)
+        top_r = jnp.clip(top_r, 0, n_i * th - 1)
+        bot_r = jnp.clip(bot_r, 0, n_i * th - 1)
+    else:
+        at_img_top = i == 0
+        at_img_bot = i == n_i - 1
+        top_b = bot_b = bi
+        top_r = jnp.maximum(i * th - 1, 0)
+        bot_r = jnp.minimum(i * th + th, n_i * th - 1)
+
     # the two one-row halos come straight from HBM: a blocked side-input
     # would read TH extra rows per tile, and a host-side strided slice
     # lowers to a row gather (measured: pathological at 1024²)
     top_dma = pltpu.make_async_copy(
-        x_hbm.at[bi, pl.ds(jnp.maximum(i * th - 1, 0), 1)],
+        x_hbm.at[top_b, pl.ds(top_r, 1)],
         halo.at[pl.ds(0, 1)],
         sem.at[0],
     )
     bot_dma = pltpu.make_async_copy(
-        x_hbm.at[bi, pl.ds(jnp.minimum(i * th + th, n_i * th - 1), 1)],
+        x_hbm.at[bot_b, pl.ds(bot_r, 1)],
         halo.at[pl.ds(1, 1)],
         sem.at[1],
     )
 
-    @pl.when(i > 0)
+    @pl.when(jnp.logical_not(at_img_top))
     def _():
         top_dma.start()
 
-    @pl.when(i < n_i - 1)
+    @pl.when(jnp.logical_not(at_img_bot))
     def _():
         bot_dma.start()
 
@@ -153,11 +182,11 @@ def _kernel(
     acc = jnp.zeros((th * wid, cout), jnp.float32)
     acc = taps(xp, 1, acc)                         # middle taps overlap the DMAs
 
-    @pl.when(i > 0)
+    @pl.when(jnp.logical_not(at_img_top))
     def _():
         top_dma.wait()
 
-    @pl.when(i < n_i - 1)
+    @pl.when(jnp.logical_not(at_img_bot))
     def _():
         bot_dma.wait()
 
@@ -165,7 +194,7 @@ def _kernel(
     # conv SAME zero padding at the image boundary — AFTER the prologue
     # (padding is zeros in conv-input space)
     row = jax.lax.broadcasted_iota(jnp.int32, (2, 1, 1), 0)
-    pad = ((i == 0) & (row == 0)) | ((i == n_i - 1) & (row == 1))
+    pad = (at_img_top & (row == 0)) | (at_img_bot & (row == 1))
     hp = jnp.where(pad, jnp.zeros_like(hp), hp)
 
     acc = taps(jnp.concatenate([hp[0:1], xp[: th - 1]], axis=0), 0, acc)
@@ -268,7 +297,7 @@ def xla_conv3x3(
 
 
 @functools.partial(
-    jax.jit, static_argnames=("want_stats", "interpret", "th")
+    jax.jit, static_argnames=("want_stats", "interpret", "th", "chunks")
 )
 def _pallas_conv3x3(
     x: Array,
@@ -278,6 +307,7 @@ def _pallas_conv3x3(
     want_stats: bool,
     th: int,
     interpret: bool = False,
+    chunks: int = 0,
 ):
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
@@ -327,6 +357,7 @@ def _pallas_conv3x3(
         with_prologue=with_pro,
         with_stats=want_stats,
         out_dtype=x.dtype,
+        chunks=chunks,
     )
     if not want_stats:
         kernel = functools.partial(_no_stats_wrap, kernel)
@@ -370,11 +401,14 @@ def on_tpu() -> bool:
         return False
 
 
-def supported(x_shape: Tuple[int, ...], w_shape: Tuple[int, ...]) -> bool:
+def supported(
+    x_shape: Tuple[int, ...], w_shape: Tuple[int, ...], chunks: int = 0
+) -> bool:
     """Dispatch heuristic (measured on v5e): the kernel wins at large
     spatial extents where XLA's conv is im2col-read-bound; below 256²
     XLA's lowering is already near the floor, and narrow channel counts
-    waste MXU lanes."""
+    waste MXU lanes. For row-chunked inputs the gate applies to the
+    IMAGE extent (chunks * rows * W)."""
     if len(x_shape) != 4 or w_shape[:2] != (3, 3):
         return False
     import os
@@ -383,9 +417,10 @@ def supported(x_shape: Tuple[int, ...], w_shape: Tuple[int, ...]) -> bool:
     max_pixels = int(os.environ.get("KDT_CONV3X3_MAX_PIXELS", 1 << 62))
     _, h, w, cin = x_shape
     cout = w_shape[-1]
+    img_pixels = h * w * max(chunks, 1)
     return (
-        h * w >= min_pixels
-        and h * w <= max_pixels
+        img_pixels >= min_pixels
+        and img_pixels <= max_pixels
         and cin % _LANE == 0
         and cout % _LANE == 0
         and cin <= 512
@@ -397,25 +432,25 @@ def _dispatch(x, w, b, pro, want_stats, chunks, xla_only, interpret):
     import os
 
     # The Pallas kernel beats XLA's conv 1.5-2x in ISOLATION at every hot
-    # shape, but inside the full U-Net it currently loses ~25 ms/step to
+    # shape, but inside the UNCHUNKED U-Net it loses ~25 ms/step to
     # XLA whole-model fusion/layout effects (see PERF.md "Fused conv3x3
-    # kernel"). Until that integration cost is solved it is opt-in.
-    # Chunked-spatial inputs always take the XLA path (the halo'd VALID
-    # conv lowers natively).
-    if (
-        xla_only
-        or chunks
-        or os.environ.get("KDT_CONV3X3", "xla") != "pallas"
-    ):
+    # kernel"), so it is opt-in (KDT_CONV3X3=pallas). Chunked-spatial
+    # inputs dispatch under the same opt-in: the batch-of-chunks layout
+    # is uniform across the graph (no space-to-batch copies to fuse
+    # against), the integration regime round 2 measured does not apply
+    # verbatim — measured separately (PERF.md round 3).
+    if xla_only or os.environ.get("KDT_CONV3X3", "xla") != "pallas":
         return xla_conv3x3(x, w, b, pro, want_stats, chunks)
     if interpret is None:
         if not on_tpu():
-            return xla_conv3x3(x, w, b, pro, want_stats)
+            return xla_conv3x3(x, w, b, pro, want_stats, chunks)
         interpret = False
     if b is None:
         b = jnp.zeros((w.shape[-1],), jnp.float32)
     th = _pick_th(x.shape[1], x.shape[2], x.shape[3], w.shape[-1])
-    return _pallas_conv3x3(x, w, b, pro, want_stats, th, interpret=interpret)
+    return _pallas_conv3x3(
+        x, w, b, pro, want_stats, th, interpret=interpret, chunks=chunks
+    )
 
 
 # --- public entry points with XLA-recompute gradients ----------------------
@@ -484,7 +519,11 @@ def conv3x3(
 
     chunks>0: row-chunked input (B*chunks, rows, W, Cin) — the conv runs
     VALID-H over halo-exchanged chunks (exact SAME semantics on the
-    unchunked image); stats come back per-chunk.
+    unchunked image); stats come back per-chunk. On the Pallas path the
+    halo rows are DMA'd from the neighbour chunk directly (no padded
+    copy); `pro`, if given, must be per-image-constant across a chunk
+    group (gn_film_affine(chunks=...) guarantees this — the neighbour's
+    edge row is prologue'd with THIS chunk's affine).
 
     Dispatches to the Pallas row-tiled kernel on TPU for supported
     shapes; XLA elsewhere. `interpret=True` forces the Pallas
@@ -493,9 +532,11 @@ def conv3x3(
         if b is None:
             b = jnp.zeros((w.shape[-1],), jnp.float32)
         th = _pick_th(x.shape[1], x.shape[2], x.shape[3], w.shape[-1])
-        return _pallas_conv3x3(x, w, b, pro, want_stats, th, interpret=interpret)
+        return _pallas_conv3x3(
+            x, w, b, pro, want_stats, th, interpret=interpret, chunks=chunks
+        )
     # everything routes through the custom VJP: the f32-accumulating
     # forward conv is not differentiable directly with bf16 operands
     # (JAX's conv transpose rejects the mixed-dtype pattern)
-    xla_only = force_xla or (not chunks and not supported(x.shape, w.shape))
+    xla_only = force_xla or not supported(x.shape, w.shape, chunks)
     return _conv3x3_vjp(x, w, b, pro, want_stats, chunks, xla_only)

@@ -124,9 +124,12 @@ def _sr1024_unet(
         cond_images_channels=cond_images_channels,
         lowres_cond=True,
         # batch-of-row-chunks execution: keeps the big spatial convs out
-        # of XLA's space-to-batch pass (105.7 -> 77.3 ms/fwd at 1024²,
-        # PERF.md round 2); exact same function (tests/test_unet.py)
-        spatial_chunks=8,
+        # of XLA's space-to-batch pass (105.7 -> 77.3 ms/fwd at 1024² at
+        # chunks=8, PERF.md round 2; 75.8 ms at chunks=16, round 3 —
+        # re-confirmed in the same harness); exact same function
+        # (tests/test_unet.py, incl. the 1-row-deepest-level topology the
+        # 256² training crop produces at chunks=16)
+        spatial_chunks=16,
     )
 
 

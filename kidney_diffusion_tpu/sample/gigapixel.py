@@ -283,7 +283,7 @@ def generate_patch_set(
     cond_images: Optional[np.ndarray],
     inpaint_resample_times: int = 1,
     ignore_stage_1: bool = False,
-    max_wave_batch: int = 16,
+    max_wave_batch: int = 32,
     store_dtype=np.float16,
     progress: bool = True,
     mesh=None,
@@ -482,7 +482,7 @@ def generate_high_res_image(
     airs: bool = False,
     inpaint_resample_times: int = 1,
     ignore_stage_1: bool = False,
-    max_wave_batch: int = 16,
+    max_wave_batch: int = 32,
     progress: bool = True,
     mesh=None,
     debug_dir: Optional[str] = None,

@@ -28,7 +28,7 @@ def generate_outpainted_image(
     num_patches_width: int,
     overlap: float = 0.25,
     inpaint_resample_times: int = 1,
-    max_wave_batch: int = 16,
+    max_wave_batch: int = 32,
     patch_size: int = PATCH_SIZE,
     progress: bool = True,
     ddim_steps: int = 0,

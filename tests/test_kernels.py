@@ -262,6 +262,59 @@ class TestChunkedConv:
         g = jax.grad(loss, (0, 1, 2))(x, w, pro)
         assert all(np.isfinite(np.asarray(t)).all() for t in g)
 
+    def test_pallas_chunked_matches_xla_chunked(self):
+        """The Pallas kernel's cross-chunk halo DMA (neighbour-chunk edge
+        rows, zero fill only at true image borders) == the XLA
+        halo_pad+VALID path, including per-chunk stats."""
+        import jax.numpy as jnp
+
+        from kidney_diffusion_tpu.kernels.conv3x3 import conv3x3, xla_conv3x3
+
+        rng = np.random.RandomState(4)
+        B, CH, ROWS, W, C = 2, 4, 4, 256, 128
+        x = jnp.asarray(rng.randn(B * CH, ROWS, W, C).astype(np.float32))
+        w = jnp.asarray(rng.randn(3, 3, C, C).astype(np.float32) * 0.05)
+        b = jnp.asarray(rng.randn(C).astype(np.float32))
+        # per-image-constant prologue (the gn_film_affine contract)
+        pro1 = rng.randn(B, 2, C).astype(np.float32)
+        pro = jnp.asarray(np.repeat(pro1, CH, axis=0))
+
+        ry, rs = xla_conv3x3(x, w, b, pro, want_stats=True, chunks=CH)
+        gy, gs = conv3x3(
+            x, w, b, pro=pro, want_stats=True, chunks=CH, interpret=True
+        )
+        np.testing.assert_allclose(np.asarray(gy), np.asarray(ry), atol=1e-3)
+        rel = np.max(np.abs(np.asarray(gs) - np.asarray(rs))) / (
+            np.max(np.abs(np.asarray(rs))) + 1e-9
+        )
+        assert rel < 1e-5, rel
+
+    def test_pallas_chunked_single_row_tiles(self):
+        """ROWS == tile height boundaries: every halo row crosses a chunk
+        boundary (tile-interior halo path never taken)."""
+        import jax.numpy as jnp
+
+        from kidney_diffusion_tpu.kernels.conv3x3 import conv3x3, xla_conv3x3
+
+        rng = np.random.RandomState(5)
+        x = jnp.asarray(rng.randn(1 * 4, 2, 128, 128).astype(np.float32))
+        w = jnp.asarray(rng.randn(3, 3, 128, 128).astype(np.float32) * 0.05)
+        b = jnp.zeros((128,), np.float32)
+        ref = xla_conv3x3(x, w, b, chunks=4)
+        got = conv3x3(x, w, b, chunks=4, interpret=True)
+        np.testing.assert_allclose(np.asarray(got), np.asarray(ref), atol=1e-3)
+
+    def test_chunked_dispatch_gate_uses_image_extent(self):
+        from kidney_diffusion_tpu.kernels import conv3x3 as c3
+
+        # 8-chunk 1024² image: each chunk is 128x1024 — gated on the
+        # image extent, not the chunk extent
+        assert c3.supported((8, 128, 1024, 128), (3, 3, 128, 128), chunks=8)
+        # same chunk shape as a STANDALONE map is also above the gate
+        assert c3.supported((8, 128, 1024, 128), (3, 3, 128, 128))
+        # an 8-chunk 181²-equivalent image stays below the default 256² gate
+        assert not c3.supported((8, 16, 256, 128), (3, 3, 128, 128), chunks=8)
+
     def test_bf16_grad_path(self):
         """Regression: bf16 conv grads used to crash in JAX's conv
         transpose (mixed bf16/f32 from preferred_element_type) — the

@@ -1,0 +1,53 @@
+"""Tests for the operational tools (tools/).
+
+The sustained-training harness (tools/sustained_train.py) is the
+round-3 artifact runner for the reference's kill-and-resume operating
+model (/root/reference/train.py:188): these tests pin its resume and
+logging semantics at toy scale so the on-TPU run only exercises scale,
+not logic.
+"""
+
+import json
+import os
+import subprocess
+import sys
+
+import pytest
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+TOOL = os.path.join(REPO, "tools", "sustained_train.py")
+
+
+def _run_train(out, steps, extra=()):
+    env = dict(os.environ)
+    env["JAX_PLATFORMS"] = "cpu"
+    return subprocess.run(
+        [sys.executable, TOOL, "train", "--out", out, "--steps", str(steps),
+         "--ckpt-every", "2", "--sample-every", "0", "--cpu", *extra],
+        env=env, capture_output=True, text=True, timeout=1200,
+    )
+
+
+@pytest.mark.slow
+def test_sustained_train_resume(tmp_path):
+    out = str(tmp_path / "run")
+
+    r1 = _run_train(out, 2)
+    assert r1.returncode == 0, r1.stderr[-2000:]
+    lines = [json.loads(l) for l in open(os.path.join(out, "loss.jsonl"))]
+    assert lines[0]["event"] == "start" and not lines[0]["resumed"]
+    assert any(l.get("event") == "checkpoint" for l in lines)
+    assert os.path.isdir(os.path.join(out, "ckpt_step2"))
+
+    # relaunch with a higher target: must RESUME (restored counters > 0),
+    # not restart — the kill-and-resume contract
+    r2 = _run_train(out, 4)
+    assert r2.returncode == 0, r2.stderr[-2000:]
+    lines = [json.loads(l) for l in open(os.path.join(out, "loss.jsonl"))]
+    starts = [l for l in lines if l.get("event") == "start"]
+    assert len(starts) == 2
+    assert starts[1]["resumed"] and starts[1]["restored_steps"]["1"] == 2
+    # stage-1 losses continue from step 3, no repeat of steps 1-2
+    s1_steps = [l["step"] for l in lines if l.get("stage") == 1]
+    assert s1_steps.count(1) == 1 and 4 in s1_steps
+    assert os.path.isdir(os.path.join(out, "ckpt_step4"))

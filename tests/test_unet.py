@@ -262,9 +262,10 @@ def test_spatial_chunks_fallback_on_unchunkable_shapes():
 
 
 def test_spatial_chunks_production_topology():
-    """The sr1024 training-crop case: 4 levels, chunks=8, H=256 ->
-    2 rows per chunk at the deepest level. Equivalence must hold at
-    this boundary topology."""
+    """The sr1024 training-crop case: 4 levels, H=256 -> 2 rows per
+    chunk at the deepest level for chunks=8 and 1 row per chunk for the
+    shipped chunks=16 (models/configs.py). Equivalence must hold at
+    both boundary topologies."""
     import dataclasses
 
     cfg0 = UNetConfig(
@@ -272,15 +273,14 @@ def test_spatial_chunks_production_topology():
         layer_attns=False, layer_cross_attns=False, memory_efficient=True,
         lowres_cond=True, groups=4, dtype="float32",
     )
-    cfg8 = dataclasses.replace(cfg0, spatial_chunks=8)
 
     rng = np.random.RandomState(0)
-    H = 256  # 256 / 8 / 2^4 = 2 rows per chunk at the deepest level
+    H = 256  # 256 / {8,16} / 2^4 = {2,1} rows per chunk, deepest level
     x = jnp.asarray(rng.rand(1, H, H, 3).astype(np.float32))
     lr = jnp.asarray(rng.rand(1, H, H, 3).astype(np.float32))
     t = jnp.asarray(rng.rand(1).astype(np.float32))
 
-    m0, m8 = EfficientUNet(cfg0), EfficientUNet(cfg8)
+    m0 = EfficientUNet(cfg0)
     p = m0.init(jax.random.PRNGKey(0), x, t, lowres_cond_img=lr,
                 lowres_noise_times=t)
     leaves, td = jax.tree_util.tree_flatten(p)
@@ -290,5 +290,9 @@ def test_spatial_chunks_production_topology():
     )
     kw = dict(lowres_cond_img=lr, lowres_noise_times=t)
     y0 = m0.apply(p, x, t, **kw)
-    y8 = m8.apply(p, x, t, **kw)
-    np.testing.assert_allclose(np.asarray(y8), np.asarray(y0), atol=1e-4)
+    for ch in (8, 16):
+        mch = EfficientUNet(dataclasses.replace(cfg0, spatial_chunks=ch))
+        ych = mch.apply(p, x, t, **kw)
+        np.testing.assert_allclose(
+            np.asarray(ych), np.asarray(y0), atol=1e-4, err_msg=f"chunks={ch}"
+        )
