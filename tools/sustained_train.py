@@ -32,10 +32,16 @@ converted real checkpoint via --inception-weights when available
 
 import argparse
 import dataclasses  # noqa: F401  (kept: config surgery in future variants)
+import faulthandler
 import json
 import os
+import signal
 import sys
 import time
+
+# long-running harness: SIGUSR2 dumps all thread stacks without dying —
+# the first diagnostic for a hung training run
+faulthandler.register(signal.SIGUSR2, all_threads=True)
 
 sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
 
