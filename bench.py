@@ -29,10 +29,12 @@ import jax.numpy as jnp
 
 REFERENCE_TIMESTEPS = (1024, 256, 256)  # train.py:91
 # scan length per measured sample_stage call: production runs 256+ steps
-# per call, so per-CALL costs (one-time bf16 weight cast, lowres prep)
-# amortize away; 16 keeps compile time sane while halving the per-step
-# bias those costs add at 8
-BENCH_TIMESTEPS = 16
+# per call, so per-CALL costs (one-time bf16 weight cast, lowres prep,
+# dispatch) amortize away. Measured round 3 (PERF.md): stage-3 per-call
+# overhead is 39.5 ms — at T=16 that inflated per-step by 2.5 ms
+# (80.8 naive vs 78.4 true slope); T=48 cuts the bias to 0.8 ms at the
+# same ~60 s compile.
+BENCH_TIMESTEPS = 48
 # production wave batching (sample/gigapixel.py): stages <=256² amortize
 # weight streaming across a wave of patches; the 1024² stage saturates
 # the chip at batch 1 (measured: batch 2 is 1.37x slower per patch).

@@ -183,21 +183,25 @@ def _masked_reverse_scan(
 
         def body(r, carry):
             x, extra, key = carry
+            # always split(4) so the random stream is identical whether or
+            # not the renoise branch below is traced (resample_times is
+            # static; k3 is simply unused at resample_times == 1)
             key, k1, k2, k3 = jax.random.split(key, 4)
             noised, *_ = diffusion.q_sample(
                 inpaint_images, t, jax.random.normal(k1, x.shape, jnp.float32)
             )
             x = x * (1.0 - mask) + noised * mask
             x, extra = update(x, t, t_next, k2, extra)
-            # renoise back to t for every resample round except the last
-            renoise = jnp.logical_and(r < resample_times - 1, t_next[0] > 0)
-            x = jnp.where(
-                renoise,
-                diffusion.q_sample_from_to(
-                    x, t_next, t, jax.random.normal(k3, x.shape, jnp.float32)
-                ),
-                x,
-            )
+            if resample_times > 1:
+                # renoise back to t for every resample round except the last
+                renoise = jnp.logical_and(r < resample_times - 1, t_next[0] > 0)
+                x = jnp.where(
+                    renoise,
+                    diffusion.q_sample_from_to(
+                        x, t_next, t, jax.random.normal(k3, x.shape, jnp.float32)
+                    ),
+                    x,
+                )
             return (x, extra, key)
 
         x, extra, key = jax.lax.fori_loop(0, resample_times, body, (x, extra, key))

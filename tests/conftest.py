@@ -15,6 +15,9 @@ if "xla_force_host_platform_device_count" not in flags:
         flags + " --xla_force_host_platform_device_count=8"
     ).strip()
 os.environ.setdefault("JAX_ENABLE_X64", "0")
+# tests import cli modules; don't let them populate the user's on-disk
+# XLA executable cache (tests that WANT the cache set their own dir)
+os.environ.setdefault("KDT_COMPILE_CACHE", "off")
 
 import jax  # noqa: E402  (import after env setup)
 
