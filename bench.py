@@ -136,7 +136,14 @@ def measure_serving(per_step):
     )
     del params
     rng = np.random.default_rng(0)
-    batch = {"images": rng.uniform(size=(4, 1024, 1024, 3)).astype(np.float32)}
+    # device-resident batch: a numpy batch re-uploads 50 MB through the
+    # tunnel per call, which is what production's prefetching loader
+    # hides — measure the step, not the transfer
+    batch = {
+        "images": jax.device_put(
+            rng.uniform(size=(4, 1024, 1024, 3)).astype(np.float32)
+        )
+    }
     trainer.train_step(3, batch)  # compile + warmup (train_step syncs: returns float)
     best = float("inf")
     for _ in range(2):
