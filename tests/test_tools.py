@@ -16,6 +16,7 @@ import pytest
 
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 TOOL = os.path.join(REPO, "tools", "sustained_train.py")
+FLAGSHIP = os.path.join(REPO, "tools", "sustained_flagship.py")
 
 
 def _run_train(out, steps, extra=()):
@@ -51,3 +52,43 @@ def test_sustained_train_resume(tmp_path):
     s1_steps = [l["step"] for l in lines if l.get("stage") == 1]
     assert s1_steps.count(1) == 1 and 4 in s1_steps
     assert os.path.isdir(os.path.join(out, "ckpt_step4"))
+
+
+def _run_flagship(out, steps, cache_dir):
+    env = dict(os.environ)
+    env["JAX_PLATFORMS"] = "cpu"
+    # isolate the persistent compile cache (the tool enables it so a
+    # kill->resume doesn't re-pay the 631M-step compile on the TPU)
+    env["KDT_COMPILE_CACHE"] = cache_dir
+    return subprocess.run(
+        [sys.executable, FLAGSHIP, "train", "--out", out, "--steps", str(steps),
+         "--batch", "1", "--pool", "1", "--ckpt-every", "2",
+         "--sample-every", "0", "--cpu", "--smoke"],
+        env=env, capture_output=True, text=True, timeout=1800,
+    )
+
+
+@pytest.mark.slow
+def test_sustained_flagship_resume(tmp_path):
+    """Flagship-harness analogue of the resume contract above: same
+    stage-3 topology (lowres cond + in-loss random crop + chunked
+    execution) at smoke scale, single rolling ckpt_latest."""
+    out = str(tmp_path / "run")
+    cache = str(tmp_path / "xla-cache")
+
+    r1 = _run_flagship(out, 2, cache)
+    assert r1.returncode == 0, r1.stderr[-2000:]
+    lines = [json.loads(l) for l in open(os.path.join(out, "loss.jsonl"))]
+    assert lines[0]["event"] == "start" and not lines[0]["resumed"]
+    assert os.path.isdir(os.path.join(out, "ckpt_latest"))
+    # the slow compile must have populated the persistent cache
+    assert os.path.isdir(cache) and os.listdir(cache)
+
+    r2 = _run_flagship(out, 4, cache)
+    assert r2.returncode == 0, r2.stderr[-2000:]
+    lines = [json.loads(l) for l in open(os.path.join(out, "loss.jsonl"))]
+    starts = [l for l in lines if l.get("event") == "start"]
+    assert len(starts) == 2
+    assert starts[1]["resumed"] and starts[1]["restored_steps"]["3"] == 2
+    steps = [l["step"] for l in lines if l.get("stage") == 3]
+    assert steps.count(1) == 1 and 4 in steps

@@ -89,6 +89,36 @@ def test_save_load_roundtrip(cascade, tmp_path):
         tr3.load(str(tmp_path / "missing"))
 
 
+def test_load_fresh_trainer_skips_device_init(cascade, tmp_path):
+    """Non-partial restore into a trainer that has never materialised the
+    stage must NOT initialise it on device first: for the flagship 631M
+    stage, init (10 GB) + restore (10 GB) OOMs a 16 GB chip (measured,
+    round 3). The restore target must be abstract; values still match."""
+    path = str(tmp_path / "ckpt")
+    tr = Trainer(cascade, lr=1e-3)
+    for _ in range(2):
+        tr.train_step(1, _batch())
+    tr.save(path)
+
+    tr2 = Trainer(cascade, lr=1e-3)
+
+    def boom(unet_number):
+        raise AssertionError(
+            f"load materialised stage {unet_number} on device before restore"
+        )
+
+    tr2._init_stage = boom
+    assert tr2.load(path)
+    assert tr2.num_steps_taken(1) == 2
+    for a, b in zip(
+        jax.tree.leaves(tr.state(1).params), jax.tree.leaves(tr2.state(1).params)
+    ):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-6)
+    # the restored state is fully trainable (shardings/dtypes intact)
+    assert np.isfinite(tr2.train_step(1, _batch()))
+    assert tr2.num_steps_taken(1) == 3
+
+
 def test_partial_restore(cascade, tmp_path):
     """restore_parts equivalent: shape-mismatched leaves keep init values."""
     import dataclasses

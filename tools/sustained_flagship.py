@@ -202,6 +202,11 @@ def main():
         import jax
 
         jax.config.update("jax_platforms", "cpu")
+    # kill -> resume pays a full recompile of the 631M train step without
+    # the persistent cache (the same cache the CLIs enable, cli/__init__)
+    from kidney_diffusion_tpu.utils.compile_cache import enable_compilation_cache
+
+    enable_compilation_cache()
     {"train": cmd_train}[args.cmd](args)
 
 

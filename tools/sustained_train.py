@@ -219,6 +219,11 @@ def main():
         import jax
 
         jax.config.update("jax_platforms", "cpu")
+    # resume after a kill re-pays compilation without the persistent
+    # cache (same cache the CLIs enable, cli/__init__)
+    from kidney_diffusion_tpu.utils.compile_cache import enable_compilation_cache
+
+    enable_compilation_cache()
     {"train": cmd_train, "eval": cmd_eval}[args.cmd](args)
 
 
