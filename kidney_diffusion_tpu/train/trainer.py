@@ -261,6 +261,13 @@ class Trainer:
             return 0
         return int(self._states[unet_number].step)
 
+    def drop_state(self, unet_number: int) -> None:
+        """Release a stage's device state (params/EMA/opt). The next
+        access re-initialises it fresh. Frees HBM between checkpoint
+        restores in eval sweeps — a 631M stage's state is ~10 GB and
+        two cannot coexist on a 16 GB chip."""
+        self._states.pop(int(unet_number), None)
+
     def sample(self, *, use_ema: bool = True, **kwargs):
         """Cascade sampling with (by default) EMA weights of every stage
         this trainer holds; mirrors `trainer.sample` using the EMA model."""
@@ -386,6 +393,16 @@ class Trainer:
             # the checkpoint can't fill -> those values must exist
             for n in stages:
                 self.state(int(n))  # materialise target structure
+        else:
+            # a full restore REPLACES every leaf, so an already-loaded
+            # stage state is dead weight during the restore — and for
+            # the 631M flagship stage keeping it alive doubles peak HBM
+            # past a 16 GB chip (e.g. eval loops loading checkpoint
+            # after checkpoint into one trainer). Drop it and restore
+            # into the abstract target below. (On a failed restore the
+            # stage re-initialises on next access.)
+            for n in stages:
+                self.drop_state(n)
         target = {str(n): self._state_dict(st) for n, st in self._states.items()}
         for n in stages:
             if str(n) not in target:

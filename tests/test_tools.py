@@ -92,3 +92,24 @@ def test_sustained_flagship_resume(tmp_path):
     assert starts[1]["resumed"] and starts[1]["restored_steps"]["3"] == 2
     steps = [l["step"] for l in lines if l.get("stage") == 3]
     assert steps.count(1) == 1 and 4 in steps
+    assert os.path.isdir(os.path.join(out, "ckpt_step4"))
+
+    # eval leg: relative FID between fresh init and the trained ckpt
+    # (4 smoke steps won't learn -> --allow-regress; the contract under
+    # test is the two-checkpoint sample->FID pipeline itself)
+    env = dict(os.environ)
+    env["JAX_PLATFORMS"] = "cpu"
+    env["KDT_COMPILE_CACHE"] = cache
+    r3 = subprocess.run(
+        [sys.executable, FLAGSHIP, "eval", "--out", out,
+         "--ckpt-a", "init", "--ckpt-b", "ckpt_latest",
+         "--patches", "2", "--sample-steps", "2",
+         "--allow-regress", "--cpu", "--smoke"],
+        env=env, capture_output=True, text=True, timeout=1800,
+    )
+    assert r3.returncode == 0, r3.stderr[-2000:]
+    fid = json.load(open(os.path.join(out, "fid.json")))
+    import math
+
+    assert math.isfinite(fid["fid_init"]) and math.isfinite(fid["fid_ckpt_latest"])
+    assert fid["fid_init"] != fid["fid_ckpt_latest"]

@@ -118,6 +118,17 @@ def test_load_fresh_trainer_skips_device_init(cascade, tmp_path):
     assert np.isfinite(tr2.train_step(1, _batch()))
     assert tr2.num_steps_taken(1) == 3
 
+    # RE-loading into the now-materialized trainer must also go through
+    # the abstract path (the old state is fully replaced — keeping it
+    # alive during restore doubles peak HBM, e.g. checkpoint-sweep eval
+    # loops): values return to the checkpoint, again without init
+    assert tr2.load(path)
+    assert tr2.num_steps_taken(1) == 2
+    for a, b in zip(
+        jax.tree.leaves(tr.state(1).params), jax.tree.leaves(tr2.state(1).params)
+    ):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-6)
+
 
 def test_partial_restore(cascade, tmp_path):
     """restore_parts equivalent: shape-mismatched leaves keep init values."""

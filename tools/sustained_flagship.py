@@ -14,6 +14,10 @@ checkpointing, and the same kill → resume operating model
   python tools/sustained_flagship.py train --out DIR --steps 4000
       # SIGKILL it mid-run, rerun the same command: it resumes from
       # DIR/ckpt_latest and the restart is recorded in DIR/loss.jsonl
+  python tools/sustained_flagship.py eval --out DIR \
+      --ckpt-a ckpt_step4000 --ckpt-b ckpt_step8000
+      # relative FID between two checkpoints' EMA super-res outputs
+      # vs held-out reals (reference: evaluation.py:252-288)
 
 Artifacts (lean; checkpoints are .gitignored — ~10 GB each):
   DIR/loss.jsonl              per-step losses + start/checkpoint/sample/
@@ -21,6 +25,8 @@ Artifacts (lean; checkpoints are .gitignored — ~10 GB each):
   DIR/sample_n{N}.png         EMA stage-3 super-res of a held-out lowres
   DIR/sample_lowres.png       the 256² conditioning input
   DIR/sample_target.png       the 1024² ground truth for it
+  DIR/ckpt_step{N}/           immutable hardlink snapshots of each save
+  DIR/fid.json                eval output (relative FID a -> b)
 """
 
 import argparse
@@ -166,6 +172,14 @@ def cmd_train(args):
         if n % args.ckpt_every == 0 or n == args.steps:
             ts = time.time()
             trainer.save(latest)
+            # immutable snapshot for later eval: hardlink copy (orbax
+            # files are write-once; the next save rmtree's ckpt_latest
+            # but only unlinks, so snapshots survive at ~zero disk cost)
+            snap = os.path.join(args.out, f"ckpt_step{n}")
+            if not os.path.exists(snap):
+                import shutil
+
+                shutil.copytree(latest, snap, copy_function=os.link)
             _log(losses, {"event": "checkpoint", "stage": 3, "step": n,
                           "save_s": round(time.time() - ts, 1)})
         if args.sample_every and (n % args.sample_every == 0 or n == args.steps):
@@ -178,6 +192,78 @@ def cmd_train(args):
             _log(losses, {"event": "sample", "stage": 3, "step": n})
     _log(losses, {"event": "done", "steps": args.steps,
                   "wall_s": round(time.time() - t0, 1)})
+
+
+def cmd_eval(args):
+    """Relative-FID quality tracking for the flagship stage (the
+    reference's operating model: evaluation.py:252-288 on generated
+    patch sets): super-resolve held-out lowres conditions with the EMA
+    params of two checkpoints and compute FID of each generated set
+    against the held-out 1024² reals. Uses the deterministic
+    synthetic-weight InceptionV3 (valid for RELATIVE comparison; swap
+    --inception-weights for a converted real checkpoint,
+    tools/convert_fid_weights.py)."""
+    import jax
+
+    from kidney_diffusion_tpu.eval.fid import (
+        calculate_fid_given_paths, default_feature_fn,
+    )
+    from kidney_diffusion_tpu.train import Trainer
+    from kidney_diffusion_tpu.utils.logging import save_image
+
+    cascade, trainer = _build(lr=1e-4, smoke=args.smoke)
+    size = cascade.config.stage(3).image_size
+
+    # held-out reals: indices the training stream never draws (train
+    # uses i in [0, n-2] of the n=96 pool; the probe is n-1)
+    held = SyntheticTissue1024(n=96 + args.patches, size=size)
+    real_dir = os.path.join(args.out, "fid_real")
+    os.makedirs(real_dir, exist_ok=True)
+    reals = [held[96 + i] for i in range(args.patches)]
+    for i, img in enumerate(reals):
+        save_image(img, os.path.join(real_dir, f"{i:04d}.png"))
+
+    weights = args.inception_weights
+    if not weights:
+        from tests.inception_ref import flax_torch_shapes, synthetic_state_dict
+
+        weights = os.path.join(args.out, "inception_synthetic.npz")
+        np.savez(weights, **synthetic_state_dict(flax_torch_shapes()))
+    feature_fn = default_feature_fn(weights)
+
+    result = {"patches": args.patches, "weights": os.path.basename(weights),
+              "sample_steps": args.sample_steps, "model": "ultra_res(0, v_param) stage 3"}
+    for tag, ckpt in (("a", args.ckpt_a), ("b", args.ckpt_b)):
+        if ckpt == "init":
+            # pseudo-checkpoint: fresh seeded init, no restore — lets a
+            # run that only kept ckpt_latest still demonstrate
+            # trained-vs-untrained FID movement
+            trainer.drop_state(3)
+        else:
+            # Trainer.load drops the previous checkpoint's state before
+            # the restore — two full 631M states never coexist on chip
+            ok = trainer.load(os.path.join(args.out, ckpt))
+            assert ok, f"missing checkpoint {ckpt} under {args.out}"
+        ema = trainer.state(3).ema_params
+        gen_dir = os.path.join(args.out, f"fid_gen_{ckpt}")
+        os.makedirs(gen_dir, exist_ok=True)
+        for i, img in enumerate(reals):
+            out = cascade.sample_stage(
+                ema, 3, jax.random.PRNGKey(2000 + i), batch_size=1,
+                lowres_image=img[None, ::4, ::4], dpmpp_steps=args.sample_steps,
+            )
+            save_image(np.asarray(out)[0], os.path.join(gen_dir, f"{i:04d}.png"))
+        fid = calculate_fid_given_paths((real_dir, gen_dir), feature_fn=feature_fn)
+        result[f"fid_{ckpt}"] = float(fid)
+        result[f"ckpt_{tag}"] = ckpt
+        print(f"FID({ckpt}) = {fid:.4f}", flush=True)
+
+    result["improved"] = result[f"fid_{args.ckpt_b}"] < result[f"fid_{args.ckpt_a}"]
+    with open(os.path.join(args.out, "fid.json"), "w") as f:
+        json.dump(result, f, indent=2)
+    print("FID:", json.dumps(result), flush=True)
+    if not args.allow_regress:
+        assert result["improved"], f"FID did not improve: {result}"
 
 
 def main():
@@ -197,6 +283,20 @@ def main():
     tr.add_argument("--cpu", action="store_true")
     tr.add_argument("--smoke", action="store_true",
                     help="tiny same-topology config (CPU harness test)")
+    ev = sub.add_parser("eval")
+    ev.add_argument("--out", required=True)
+    ev.add_argument("--ckpt-a", required=True,
+                    help="checkpoint dir name under --out (e.g. ckpt_step8000), "
+                         "or 'init' for fresh-init params")
+    ev.add_argument("--ckpt-b", required=True)
+    ev.add_argument("--patches", type=int, default=48)
+    ev.add_argument("--sample-steps", type=int, default=25)
+    ev.add_argument("--inception-weights", default=None)
+    ev.add_argument("--allow-regress", action="store_true",
+                    help="record FIDs without asserting improvement "
+                         "(smoke runs too short to learn)")
+    ev.add_argument("--cpu", action="store_true")
+    ev.add_argument("--smoke", action="store_true")
     args = ap.parse_args()
     if args.cpu:
         import jax
@@ -207,7 +307,7 @@ def main():
     from kidney_diffusion_tpu.utils.compile_cache import enable_compilation_cache
 
     enable_compilation_cache()
-    {"train": cmd_train}[args.cmd](args)
+    {"train": cmd_train, "eval": cmd_eval}[args.cmd](args)
 
 
 if __name__ == "__main__":
