@@ -38,47 +38,62 @@ def _load():
         path = os.path.abspath(path)
         if os.path.exists(path):
             lib = ctypes.CDLL(path)
-            i64, i32, u8p = ctypes.c_int64, ctypes.c_int32, ctypes.POINTER(ctypes.c_uint8)
-            lib.kdt_extract_patch.restype = ctypes.c_int
-            lib.kdt_extract_patch.argtypes = [
-                u8p, i64, i64, i64, i64, i64, i64,
-                ctypes.c_uint8, ctypes.c_uint8, ctypes.c_uint8, ctypes.c_int, u8p,
-            ]
-            lib.kdt_extract_batch.restype = ctypes.c_int
-            lib.kdt_extract_batch.argtypes = [
-                u8p, i64, i64,
-                ctypes.POINTER(i64), ctypes.POINTER(i64), ctypes.POINTER(i64),
-                ctypes.POINTER(i32), i64, i64,
-                ctypes.c_uint8, ctypes.c_uint8, ctypes.c_uint8, ctypes.c_int, u8p,
-            ]
-            lib.kdt_tissue_mask.restype = ctypes.c_int
-            lib.kdt_tissue_mask.argtypes = [
-                u8p, i64, ctypes.c_float, ctypes.c_float, u8p
-            ]
-            lib.kdt_tiff_open.restype = ctypes.c_void_p
-            lib.kdt_tiff_open.argtypes = [ctypes.c_char_p]
-            lib.kdt_tiff_close.argtypes = [ctypes.c_void_p]
-            lib.kdt_tiff_size.restype = ctypes.c_int
-            lib.kdt_tiff_size.argtypes = [
-                ctypes.c_void_p, ctypes.POINTER(i64), ctypes.POINTER(i64)
-            ]
-            lib.kdt_tiff_read_region.restype = ctypes.c_int
-            lib.kdt_tiff_read_region.argtypes = [
-                ctypes.c_void_p, i64, i64, i64, i64, i64, i64, u8p,
-            ]
-            lib.kdt_tiff_compression.restype = ctypes.c_int
-            lib.kdt_tiff_compression.argtypes = [ctypes.c_void_p]
-            lib.kdt_tiff_tile_dims.restype = ctypes.c_int
-            lib.kdt_tiff_tile_dims.argtypes = [
-                ctypes.c_void_p, ctypes.POINTER(i64), ctypes.POINTER(i64)
-            ]
-            lib.kdt_tiff_read_raw_tile.restype = i64
-            lib.kdt_tiff_read_raw_tile.argtypes = [
-                ctypes.c_void_p, i64, i64, u8p, i64
-            ]
+            try:
+                _bind(lib)
+            except AttributeError as e:
+                # a stale .so from before an API addition: degrade to
+                # "native unavailable" (the documented contract of
+                # available()) instead of crashing every open_slide
+                print(
+                    f"[native] {path} is missing symbol {e}; it predates "
+                    "this source tree — rebuild with `make -C native` to "
+                    "re-enable the native data engine", flush=True,
+                )
+                return None
             _lib = lib
             return lib
     return None
+
+
+def _bind(lib) -> None:
+    i64, i32, u8p = ctypes.c_int64, ctypes.c_int32, ctypes.POINTER(ctypes.c_uint8)
+    lib.kdt_extract_patch.restype = ctypes.c_int
+    lib.kdt_extract_patch.argtypes = [
+        u8p, i64, i64, i64, i64, i64, i64,
+        ctypes.c_uint8, ctypes.c_uint8, ctypes.c_uint8, ctypes.c_int, u8p,
+    ]
+    lib.kdt_extract_batch.restype = ctypes.c_int
+    lib.kdt_extract_batch.argtypes = [
+        u8p, i64, i64,
+        ctypes.POINTER(i64), ctypes.POINTER(i64), ctypes.POINTER(i64),
+        ctypes.POINTER(i32), i64, i64,
+        ctypes.c_uint8, ctypes.c_uint8, ctypes.c_uint8, ctypes.c_int, u8p,
+    ]
+    lib.kdt_tissue_mask.restype = ctypes.c_int
+    lib.kdt_tissue_mask.argtypes = [
+        u8p, i64, ctypes.c_float, ctypes.c_float, u8p
+    ]
+    lib.kdt_tiff_open.restype = ctypes.c_void_p
+    lib.kdt_tiff_open.argtypes = [ctypes.c_char_p]
+    lib.kdt_tiff_close.argtypes = [ctypes.c_void_p]
+    lib.kdt_tiff_size.restype = ctypes.c_int
+    lib.kdt_tiff_size.argtypes = [
+        ctypes.c_void_p, ctypes.POINTER(i64), ctypes.POINTER(i64)
+    ]
+    lib.kdt_tiff_read_region.restype = ctypes.c_int
+    lib.kdt_tiff_read_region.argtypes = [
+        ctypes.c_void_p, i64, i64, i64, i64, i64, i64, u8p,
+    ]
+    lib.kdt_tiff_compression.restype = ctypes.c_int
+    lib.kdt_tiff_compression.argtypes = [ctypes.c_void_p]
+    lib.kdt_tiff_tile_dims.restype = ctypes.c_int
+    lib.kdt_tiff_tile_dims.argtypes = [
+        ctypes.c_void_p, ctypes.POINTER(i64), ctypes.POINTER(i64)
+    ]
+    lib.kdt_tiff_read_raw_tile.restype = i64
+    lib.kdt_tiff_read_raw_tile.argtypes = [
+        ctypes.c_void_p, i64, i64, u8p, i64
+    ]
 
 
 class UnsupportedSlideError(IOError):

@@ -112,11 +112,16 @@ def open_slide(path: str) -> "Slide":
     if native.available():
         try:
             return native.NativeSlide(path)
-        except native.UnsupportedSlideError:
-            # codec undecodable by EVERY in-image backend (e.g. J2K SVS
-            # without a J2K decoder): fail loudly — a PIL whole-image
-            # fallback would fail too, just later and more confusingly
-            raise
+        except native.UnsupportedSlideError as unsupported:
+            # codec the native engine can't decode here (e.g. J2K SVS
+            # without a PIL J2K codec). slideio bundles openjpeg and CAN
+            # decode Aperio J2K — try it; but a PIL whole-image fallback
+            # would fail too, just later and more confusingly, so
+            # without slideio fail loudly with the real reason.
+            try:
+                return SlideioSlide(path)
+            except Exception:
+                raise unsupported from None
         except Exception as e:  # not a TIFF container, or engine failure
             print(f"[wsi] native reader failed on {path} ({e!r}); "
                   "trying slideio/PIL", flush=True)
@@ -215,28 +220,11 @@ def read_block(
             )
             return patch.astype(np.float32) / 255.0
 
-    width, height = slide.size
     image_size = mag_sizes[mag_level]
-    scale = patch_size / image_size
-
-    out = np.empty((patch_size, patch_size, 3), np.uint8)
-    out[:] = np.asarray(fill_color, np.uint8)
-
-    # clamp the read rect to the slide
-    rx = max(x, 0)
-    ry = max(y, 0)
-    rw = min(width - rx, image_size - max(-x, 0))
-    rh = min(height - ry, image_size - max(-y, 0))
-
-    if rw > 0 and rh > 0:
-        out_w = int(rw * scale)
-        out_h = int(rh * scale)
-        if out_w > 0 and out_h > 0:
-            region = slide.read_region(rx, ry, rw, rh, out_w, out_h)
-            ox = int((rx - x) * scale)
-            oy = int((ry - y) * scale)
-            out[oy : oy + out_h, ox : ox + out_w] = region[..., :3]
-
+    out = read_region_filled(
+        slide, x, y, image_size, image_size, patch_size, patch_size,
+        fill_color=fill_color,
+    )
     return out.astype(np.float32) / 255.0
 
 

@@ -399,15 +399,27 @@ class Trainer:
             # the 631M flagship stage keeping it alive doubles peak HBM
             # past a 16 GB chip (e.g. eval loops loading checkpoint
             # after checkpoint into one trainer). Drop it and restore
-            # into the abstract target below. (On a failed restore the
-            # stage re-initialises on next access.)
+            # into the abstract target below.
             for n in stages:
                 self.drop_state(n)
         target = {str(n): self._state_dict(st) for n, st in self._states.items()}
         for n in stages:
             if str(n) not in target:
                 target[str(n)] = self._abstract_state_dict(int(n))
-        restored = load_checkpoint(path, target, partial=partial)
+        try:
+            restored = load_checkpoint(path, target, partial=partial)
+        except Exception as e:
+            # the live states for `stages` were already dropped above; a
+            # caller that catches this and keeps going would silently get
+            # FRESH-INIT params from the next state() access — make the
+            # hazard explicit in the error instead of letting a
+            # checkpoint sweep record garbage without a trace
+            raise RuntimeError(
+                f"restore of {path} failed AFTER dropping live state for "
+                f"stages {list(stages)}; those stages will re-initialise "
+                "fresh on next access — do not keep using this trainer's "
+                "old weights, they are gone"
+            ) from e
         for n_str, d in restored.items():
             self._states[int(n_str)] = self._place_state(StageState(**d))
         return True

@@ -67,12 +67,22 @@ def _checkpointer():
 
 def save_checkpoint(path: str, tree: Any, *, metadata: Optional[dict] = None) -> None:
     """Save a pytree to `path` (a local directory or remote URI).
-    Overwrites atomically.
+
+    For LOCAL paths the overwrite is crash-safe: the new checkpoint is
+    fully written to a `<name>.tmp_save` sibling first, then swapped in
+    (delete old + rename). A kill during the save — which for the 631M
+    flagship stage lasts ~11 min, far longer than the training between
+    saves — leaves the previous checkpoint intact instead of a deleted
+    `ckpt_latest` and an unfinalized new one; the unprotected window
+    shrinks to the delete+rename (~seconds). Remote URIs keep the
+    simple delete-then-save sequence (directory rename is not atomic or
+    even supported on object stores; Orbax's own commit markers handle
+    partial writes there).
 
     Multi-host safe: every process must call this (Orbax's array save is
-    collective for sharded arrays); the pre-delete and metadata write
-    happen on process 0 only, with barriers so no process races the
-    delete."""
+    collective for sharded arrays); deletes, metadata writes, and the
+    final swap happen on process 0 only, with barriers so no process
+    races them."""
     p = _path(path)
     ckptr = _checkpointer()
 
@@ -82,14 +92,23 @@ def save_checkpoint(path: str, tree: Any, *, metadata: Optional[dict] = None) ->
 
             multihost_utils.sync_global_devices(name)
 
-    if jax.process_index() == 0 and p.exists():
+    local = "://" not in str(p)
+    dest = p.parent / (p.name + ".tmp_save") if local else p
+
+    if jax.process_index() == 0 and dest.exists():
+        dest.rmtree()
+    if not local and jax.process_index() == 0 and p.exists():
         p.rmtree()
     barrier("kdt_ckpt_pre_save")
-    ckptr.save(p, tree)
+    ckptr.save(dest, tree)
     ckptr.wait_until_finished()
     if jax.process_index() == 0:
         meta = {"version": __version__, **(metadata or {})}
-        (p / _META_NAME).write_text(json.dumps(meta))
+        (dest / _META_NAME).write_text(json.dumps(meta))
+        if local:
+            if p.exists():
+                p.rmtree()
+            dest.rename(p)
     barrier("kdt_ckpt_post_save")
 
 
