@@ -113,3 +113,17 @@ def test_sustained_flagship_resume(tmp_path):
 
     assert math.isfinite(fid["fid_init"]) and math.isfinite(fid["fid_ckpt_latest"])
     assert fid["fid_init"] != fid["fid_ckpt_latest"]
+
+    # snapshot-fallback leg: lose ckpt_latest (the kill-inside-the-swap
+    # window case) -> training must resume from the newest ckpt_step{N}
+    # snapshot, not restart from 0
+    import shutil
+
+    shutil.rmtree(os.path.join(out, "ckpt_latest"))
+    r4 = _run_flagship(out, 6, cache)
+    assert r4.returncode == 0, r4.stderr[-2000:]
+    lines = [json.loads(l) for l in open(os.path.join(out, "loss.jsonl"))]
+    starts = [l for l in lines if l.get("event") == "start"]
+    assert starts[-1]["resumed"] and starts[-1]["restored_steps"]["3"] == 4
+    steps = [l["step"] for l in lines if l.get("stage") == 3]
+    assert 6 in steps and steps.count(5) == 1

@@ -130,7 +130,22 @@ def cmd_train(args):
     cascade, trainer = _build(args.lr, smoke=args.smoke)
     ds = SyntheticTissue1024(size=cascade.config.stage(3).image_size)
 
-    resumed = trainer.load(latest, noop_if_not_exist=True)
+    resume_from = latest
+    from kidney_diffusion_tpu.utils.checkpoint import checkpoint_exists
+
+    if not checkpoint_exists(latest):
+        # ckpt_latest lost (e.g. a kill inside the ~seconds-wide swap
+        # window of the crash-safe save, or manual deletion): fall back
+        # to the newest immutable ckpt_step{N} snapshot
+        snaps = sorted(
+            (int(d[len("ckpt_step"):]), d)
+            for d in os.listdir(args.out) if d.startswith("ckpt_step")
+        ) if os.path.isdir(args.out) else []
+        if snaps:
+            resume_from = os.path.join(args.out, snaps[-1][1])
+            print(f"[flagship] ckpt_latest missing; resuming from "
+                  f"{snaps[-1][1]}", flush=True)
+    resumed = trainer.load(resume_from, noop_if_not_exist=True)
     start = trainer.num_steps_taken(3)
     _log(losses, {
         "event": "start", "t": time.time(), "resumed": bool(resumed),
