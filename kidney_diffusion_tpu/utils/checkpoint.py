@@ -141,17 +141,16 @@ def load_checkpoint(path: str, target: Any, *, partial: bool = False) -> Any:
         try:
             return ckptr.restore(p, target)
         except Exception as e:
-            # Only a shape/dtype mismatch is retried via layout migrations
-            # (_adapt_leaf); anything else (corrupt checkpoint, IO error,
-            # sharding failure) must surface as-is rather than resurface
-            # as a misleading migration error.
-            msg = str(e).lower()
-            if not any(s in msg for s in ("shape", "dtype", "mismatch")):
-                raise
+            # Layout drift (old checkpoints with migrated leaf shapes) is
+            # retried via _restore_with_migrations. No message sniffing:
+            # the retry runs for ANY failure, but if it fails too we
+            # surface the ORIGINAL error — for a corrupt checkpoint or an
+            # IO fault that is the informative one, and the migration
+            # attempt's own error stays attached as __context__.
             try:
                 return _restore_with_migrations(ckptr, p, target, path)
-            except Exception as e2:
-                raise e2 from e  # keep the original restore error chained
+            except Exception:
+                raise e
 
     # shape-tolerant: restore with raw structure, then merge
     try:
