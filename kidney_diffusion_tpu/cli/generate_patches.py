@@ -21,6 +21,10 @@ def main():
     p = argparse.ArgumentParser()
     p.add_argument("--data_path", type=str, required=True)
     p.add_argument("--output", type=str, default="real")
+    p.add_argument("--annotated_dataset", action="store_true",
+                   help="export the annotated (labelbox h5) patches instead "
+                        "of tissue-positive SVS patches "
+                        "(generate_patches.py:48,66)")
     p.add_argument("--num_workers", type=int, default=32)
     p.add_argument("--limit", type=int, default=None)
     args = p.parse_args()
@@ -28,7 +32,8 @@ def main():
     slides, metadata, annotations = load_patient_environment(args.data_path)
     dataset = PatientDataset(
         slides, metadata, annotations=annotations,
-        annotated_dataset=False, patch_size=1024, image_size=1024,
+        annotated_dataset=args.annotated_dataset,
+        patch_size=1024, image_size=1024,
         transformations=False, unconditional=True,
     )
     n = len(dataset) if args.limit is None else min(args.limit, len(dataset))

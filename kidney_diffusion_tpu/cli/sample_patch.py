@@ -49,6 +49,11 @@ def parse_args():
                    choices=(None, "glom_tubules"),
                    help="zero all but glomeruli+tubuli channels")
     p.add_argument("--variants_per_mask", type=int, default=3)
+    p.add_argument("--start_index", type=int, default=0,
+                   help="first labelmap index to use (sample_cond.py:100)")
+    p.add_argument("--end_index", type=int, default=None,
+                   help="one-past-last labelmap index (sample_cond.py:101; "
+                        "default: all maps from --start_index on)")
     p.add_argument("--stop_at_unet_number", type=int, default=None)
     p.add_argument("--ddim_eta", type=float, default=0.0,
                    help="DDIM stochasticity (0 = deterministic)")
@@ -59,11 +64,19 @@ def parse_args():
     return p.parse_args()
 
 
-def load_labelmaps(directory: str, flt: str | None) -> np.ndarray:
+def load_labelmaps(
+    directory: str,
+    flt: str | None,
+    start: int = 0,
+    end: int | None = None,
+) -> np.ndarray:
     """Integer .npy labelmaps -> one-hot 4-channel float
-    (sample_cond.py:76-80)."""
+    (sample_cond.py:76-80). [start, end) selects a file range like the
+    reference's --start_index/--end_index (sample_cond.py:73), over the
+    SORTED listing (deterministic, unlike os.listdir order)."""
+    paths = sorted(glob(os.path.join(directory, "*.npy")))[start:end]
     maps = []
-    for path in sorted(glob(os.path.join(directory, "*.npy"))):
+    for path in paths:
         lm = np.load(path)
         onehot = np.stack(
             [(lm == c + 1).astype(np.float32) for c in range(NUM_LABEL_CHANNELS)],
@@ -91,7 +104,10 @@ def main():
     ]
 
     if args.from_labelmaps:
-        labelmaps = load_labelmaps(args.from_labelmaps, args.labelmap_filter)
+        labelmaps = load_labelmaps(
+            args.from_labelmaps, args.labelmap_filter,
+            args.start_index, args.end_index,
+        )
         labelmaps = np.repeat(labelmaps, args.variants_per_mask, axis=0)
         n_total = labelmaps.shape[0]
     else:

@@ -37,6 +37,10 @@ def parse_args():
     p.add_argument("--run_id", type=str, default=None)
     p.add_argument("--num_workers", type=int, default=8)
     p.add_argument("--no_wandb", action="store_true")
+    p.add_argument("--preview", type=int, default=0,
+                   help="write N patch+mask overlay previews to previews/ "
+                        "before training (headless equivalent of "
+                        "train_kumar.py:107-113's matplotlib loop)")
     add_distributed_args(p)
     return p.parse_args()
 
@@ -57,6 +61,17 @@ def main():
     keywords = ("images", "text_embeds", "cond_images")
     # 90/10 held-out validation split (reference train_kumar.py:125-135)
     train_ds, valid_ds = train_valid_split(dataset, 0.1)
+
+    if args.preview > 0:
+        import os
+
+        from ..utils.logging import save_labelmap_preview
+
+        os.makedirs("previews", exist_ok=True)
+        for i in range(min(args.preview, len(train_ds))):
+            patch, _, labelmap = train_ds[i]
+            save_labelmap_preview(patch, f"previews/preview-{i}.png", labelmap)
+        print(f"wrote {min(args.preview, len(train_ds))} previews to previews/")
     trainer.add_train_dataset(
         train_ds, batch_size=args.batch_size, num_workers=args.num_workers,
         keywords=keywords, shard_by_process=multihost,

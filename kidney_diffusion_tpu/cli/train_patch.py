@@ -11,6 +11,7 @@ conditioning, fp16 -> bf16 here) and /root/reference/train_uncond.py
 from __future__ import annotations
 
 import argparse
+import os
 
 from ..cascade import Cascade
 from ..data.patient import PatientDataset
@@ -44,6 +45,10 @@ def parse_args():
     p.add_argument("--run_id", type=str, default=None)
     p.add_argument("--num_workers", type=int, default=8)
     p.add_argument("--no_wandb", action="store_true")
+    p.add_argument("--preview", type=int, default=0,
+                   help="write N patch+labelmap overlay previews to "
+                        "previews/ before training (headless equivalent "
+                        "of train.py:165-172's matplotlib loop)")
     add_distributed_args(p)
     return p.parse_args()
 
@@ -79,6 +84,16 @@ def main():
 
     train_ds, valid_ds = train_valid_split(dataset, SPLIT_VALID_FRACTION)
     print(f"training with {len(train_ds)} samples, validating with {len(valid_ds)}")
+
+    if args.preview > 0:
+        from ..utils.logging import save_labelmap_preview
+
+        os.makedirs("previews", exist_ok=True)
+        for i in range(min(args.preview, len(train_ds))):
+            item = train_ds[i]
+            patch, labelmap = (item, None) if args.unconditional else (item[0], item[2])
+            save_labelmap_preview(patch, f"previews/preview-{i}.png", labelmap)
+        print(f"wrote {min(args.preview, len(train_ds))} previews to previews/")
 
     keywords = (
         ("images",) if args.unconditional else ("images", "text_embeds", "cond_images")

@@ -100,6 +100,32 @@ def save_image(image, path: str) -> None:
     Image.fromarray(arr).save(path)
 
 
+_PREVIEW_COLORS = (  # Tubuli, Vein/Vessel, Artery, Glomerui
+    (0.90, 0.15, 0.15),
+    (0.15, 0.80, 0.20),
+    (0.20, 0.35, 0.95),
+    (0.95, 0.85, 0.10),
+)
+
+
+def save_labelmap_preview(patch, path: str, labelmap=None) -> None:
+    """Headless equivalent of the reference's pre-training dataset
+    preview (/root/reference/train.py:165-172, train_kumar.py:107-113):
+    the patch with each labelmap channel alpha-blended in a fixed
+    distinct colour (the reference used random colormaps + plt.show;
+    here deterministic colours, written to disk)."""
+    import numpy as np
+
+    img = np.array(patch, np.float32, copy=True)
+    if labelmap is not None:
+        lm = np.asarray(labelmap)
+        for c in range(lm.shape[-1]):
+            mask = lm[..., c] > 0
+            color = np.asarray(_PREVIEW_COLORS[c % len(_PREVIEW_COLORS)], np.float32)
+            img[mask] = 0.5 * img[mask] + 0.5 * color
+    save_image(img, path)
+
+
 def print_memory_usage(prefix: str = "") -> None:
     """Per-device HBM usage (parity with the reference's CUDA memory
     print, /root/reference/sample_ultra_res.py:68-72)."""

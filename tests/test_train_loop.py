@@ -172,3 +172,27 @@ def test_downsample_kernel_layout_migration(tmp_path):
            "step": 0}
     with pytest.raises(Exception):
         ckpt.load_checkpoint(path, bad, partial=False)
+
+
+def test_save_labelmap_preview(tmp_path):
+    """Preview overlay: masked pixels are blended toward the channel
+    colour, unmasked pixels (and the labelmap=None path) are untouched
+    (headless stand-in for train.py:165-172)."""
+    import numpy as np
+    from PIL import Image
+
+    from kidney_diffusion_tpu.utils.logging import save_labelmap_preview
+
+    patch = np.full((8, 8, 3), 0.4, np.float32)
+    lm = np.zeros((8, 8, 2), np.float32)
+    lm[:4, :, 0] = 1.0  # top half: channel 0 (red-ish)
+
+    out = tmp_path / "p.png"
+    save_labelmap_preview(patch, str(out), lm)
+    px = np.asarray(Image.open(out)).astype(np.float32) / 255.0
+    assert px[0, 0, 0] > px[0, 0, 2]  # blended toward red
+    np.testing.assert_allclose(px[7, 7], 0.4, atol=0.01)  # untouched
+
+    save_labelmap_preview(patch, str(out), None)
+    px = np.asarray(Image.open(out)).astype(np.float32) / 255.0
+    np.testing.assert_allclose(px, 0.4, atol=0.01)
