@@ -238,6 +238,8 @@ class ResnetBlock(nn.Module):
 
     @nn.compact
     def __call__(self, x: Array, time_emb: Optional[Array] = None) -> Array:
+        x = x.astype(self.dtype)  # inputs may arrive in a narrow storage
+        # dtype (UNetConfig.storage_dtype); the cast fuses into our reads
         scale_shift = None
         if time_emb is not None:
             # per-image conditioning even in chunked form: gn_film_affine

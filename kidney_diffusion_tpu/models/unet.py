@@ -83,6 +83,12 @@ class UNetConfig:
     # Exact same function; avoids XLA's per-conv space-to-batch copies at
     # large spatial extents (~15% faster at 1024², PERF.md round 2).
     # Applied when H is divisible by spatial_chunks * 2**num_levels.
+    storage_dtype: Optional[str] = None  # e.g. "float8_e4m3fn": STORE
+    # inter-block activations and skip tensors in this dtype while all
+    # compute stays in `dtype`. The converts fuse into the producing /
+    # consuming convs, so every materialised feature map costs half the
+    # HBM bytes — a throughput/precision trade for the bandwidth-bound
+    # 1024² stage (measured in PERF.md round 3). None = exact bf16 path.
 
     @property
     def num_levels(self) -> int:
@@ -203,16 +209,24 @@ class EfficientUNet(nn.Module):
             x = x.reshape(b * ch, h_in // ch, w_in, x.shape[-1])
 
         def unchunked(y):
+            y = y.astype(dt)  # attention blocks compute from the wide dtype
             return y.reshape(b, y.shape[1] * ch, *y.shape[2:]) if ch else y
 
         def rechunked(y):
             return y.reshape(b * ch, y.shape[1] // ch, *y.shape[2:]) if ch else y
+
+        sdt = jnp.dtype(cfg.storage_dtype) if cfg.storage_dtype else None
+
+        def store(y):
+            """Narrow-dtype storage of a block-boundary feature map."""
+            return y.astype(sdt) if sdt is not None else y
 
         # ---- init conv -----------------------------------------------------
         if ch:
             x = Conv3x3(cfg.dim, dt, ch, name="init_conv")(x)
         else:
             x = nn.Conv(cfg.dim, (3, 3), dtype=dt, name="init_conv")(x)
+        x = store(x)
         init_conv_out = x
 
         # ---- down path -------------------------------------------------------
@@ -220,61 +234,61 @@ class EfficientUNet(nn.Module):
         for i in range(num_levels):
             d = dims[i]
             if cfg.memory_efficient:
-                x = Downsample(d, dt, name=f"down{i}_pre")(x)
-            x = ResBlock(d, cfg.groups, dt, ch, name=f"down{i}_block0")(x, t_cond)
+                x = store(Downsample(d, dt, name=f"down{i}_pre")(x))
+            x = store(ResBlock(d, cfg.groups, dt, ch, name=f"down{i}_block0")(x, t_cond))
             if cross_per[i]:
-                x = rechunked(CrossAttentionBlock(
+                x = store(rechunked(CrossAttentionBlock(
                     cfg.attn_heads, cfg.attn_dim_head, dt, name=f"down{i}_cross"
-                )(unchunked(x), context))
+                )(unchunked(x), context)))
             skips.append(x)
             for j in range(blocks_per[i]):
-                x = ResBlock(d, cfg.groups, dt, ch, name=f"down{i}_block{j + 1}")(x, t_cond)
+                x = store(ResBlock(d, cfg.groups, dt, ch, name=f"down{i}_block{j + 1}")(x, t_cond))
                 skips.append(x)
             if attns_per[i]:
-                x = rechunked(TransformerBlock(
+                x = store(rechunked(TransformerBlock(
                     cfg.attn_heads, cfg.attn_dim_head, cfg.ff_mult, dt, name=f"down{i}_attn"
-                )(unchunked(x), context))
+                )(unchunked(x), context)))
             if not cfg.memory_efficient and i < num_levels - 1:
-                x = Downsample(dims[i + 1], dt, name=f"down{i}_post")(x)
+                x = store(Downsample(dims[i + 1], dt, name=f"down{i}_post")(x))
 
         # ---- middle ----------------------------------------------------------
-        x = ResBlock(dims[-1], cfg.groups, dt, ch, name="mid_block1")(x, t_cond)
+        x = store(ResBlock(dims[-1], cfg.groups, dt, ch, name="mid_block1")(x, t_cond))
         if cross_per[-1]:
-            x = rechunked(CrossAttentionBlock(
+            x = store(rechunked(CrossAttentionBlock(
                 cfg.attn_heads, cfg.attn_dim_head, dt, name="mid_cross"
-            )(unchunked(x), context))
+            )(unchunked(x), context)))
         if attns_per[-1]:
-            x = rechunked(TransformerBlock(
+            x = store(rechunked(TransformerBlock(
                 cfg.attn_heads, cfg.attn_dim_head, cfg.ff_mult, dt, name="mid_attn"
-            )(unchunked(x), context))
-        x = ResBlock(dims[-1], cfg.groups, dt, ch, name="mid_block2")(x, t_cond)
+            )(unchunked(x), context)))
+        x = store(ResBlock(dims[-1], cfg.groups, dt, ch, name="mid_block2")(x, t_cond))
 
         # ---- up path -----------------------------------------------------------
         for i in reversed(range(num_levels)):
             d = dims[i]
             for j in range(blocks_per[i] + 1):
                 skip = skips.pop()
-                x = jnp.concatenate([x, skip], axis=-1)
-                x = ResBlock(d, cfg.groups, dt, ch, name=f"up{i}_block{j}")(x, t_cond)
+                x = jnp.concatenate([store(x), skip], axis=-1)
+                x = store(ResBlock(d, cfg.groups, dt, ch, name=f"up{i}_block{j}")(x, t_cond))
             if cross_per[i]:
-                x = rechunked(CrossAttentionBlock(
+                x = store(rechunked(CrossAttentionBlock(
                     cfg.attn_heads, cfg.attn_dim_head, dt, name=f"up{i}_cross"
-                )(unchunked(x), context))
+                )(unchunked(x), context)))
             if attns_per[i]:
-                x = rechunked(TransformerBlock(
+                x = store(rechunked(TransformerBlock(
                     cfg.attn_heads, cfg.attn_dim_head, cfg.ff_mult, dt, name=f"up{i}_attn"
-                )(unchunked(x), context))
+                )(unchunked(x), context)))
             if cfg.memory_efficient:
                 up_dim = dims[i - 1] if i > 0 else cfg.dim
-                x = Upsample(up_dim, dt, ch, name=f"up{i}_upsample")(x)
+                x = store(Upsample(up_dim, dt, ch, name=f"up{i}_upsample")(x))
             elif i > 0:
-                x = Upsample(dims[i - 1], dt, ch, name=f"up{i}_upsample")(x)
+                x = store(Upsample(dims[i - 1], dt, ch, name=f"up{i}_upsample")(x))
 
         assert not skips, "skip connection mismatch"
 
         # ---- final -----------------------------------------------------------
         if cfg.init_conv_to_final_conv_residual:
-            x = jnp.concatenate([x, init_conv_out], axis=-1)
+            x = jnp.concatenate([store(x), init_conv_out], axis=-1)
         x = ResBlock(cfg.dim, cfg.groups, dt, ch, name="final_block")(x, t_cond)
         if ch:
             from ..kernels.conv3x3 import halo_pad

@@ -296,3 +296,49 @@ def test_spatial_chunks_production_topology():
         np.testing.assert_allclose(
             np.asarray(ych), np.asarray(y0), atol=1e-4, err_msg=f"chunks={ch}"
         )
+
+
+def test_storage_dtype_narrow_activations():
+    """UNetConfig.storage_dtype: block-boundary activations and skips are
+    stored in a narrow dtype (float8) while compute stays wide. The
+    forward must run across the config surface (plain, memory_efficient
+    + init-conv residual, spatial_chunks) and stay close to the
+    wide-stored forward — the difference is coarse-mantissa rounding at
+    block boundaries only."""
+    import dataclasses
+
+    for kw in (
+        dict(),
+        dict(memory_efficient=True, init_conv_to_final_conv_residual=True),
+        dict(spatial_chunks=2),
+    ):
+        cfg = _tiny(**kw)
+        model = EfficientUNet(cfg)
+        x = jax.random.normal(jax.random.PRNGKey(1), (2, 16, 16, 3))
+        t = jnp.full((2,), 0.4)
+        params = model.init(jax.random.PRNGKey(0), x, t)
+        # randomise: the zero-init final conv would make every output 0
+        leaves, treedef = jax.tree.flatten(params)
+        keys = jax.random.split(jax.random.PRNGKey(7), len(leaves))
+        params = jax.tree.unflatten(
+            treedef,
+            [
+                0.1 * jax.random.normal(k, l.shape, l.dtype)
+                for k, l in zip(keys, leaves)
+            ],
+        )
+        ref = model.apply(params, x, t)
+        f8 = dataclasses.replace(cfg, storage_dtype="float8_e4m3fn")
+        out = EfficientUNet(f8).apply(params, x, t)
+        assert out.shape == ref.shape and out.dtype == ref.dtype
+        r = np.asarray(ref).ravel()
+        o = np.asarray(out).ravel()
+        assert np.isfinite(o).all()
+        rms = float(np.sqrt(((o - r) ** 2).mean()))
+        ref_rms = float(np.sqrt((r**2).mean())) + 1e-8
+        assert rms / ref_rms < 0.5, (kw, rms / ref_rms)
+        # and storage_dtype=None stays the byte-identical default
+        same = EfficientUNet(dataclasses.replace(cfg, storage_dtype=None)).apply(
+            params, x, t
+        )
+        np.testing.assert_array_equal(np.asarray(same), r)
