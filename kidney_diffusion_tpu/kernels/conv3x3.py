@@ -239,6 +239,45 @@ def halo_pad(x: Array, chunks: int) -> Array:
     return out.reshape(bc, rows + 2, w, c)
 
 
+def _int8_conv(x: Array, w: Array, chunks: int) -> Array:
+    """w8a8 dynamic-symmetric quantized 3x3 conv -> fp32 output.
+
+    Weights per-output-channel, activations per-tensor (amax/127), both
+    quantized IN-GRAPH from the bf16/fp32 params — no separate quantized
+    checkpoint. The int8 conv runs on the MXU's double-rate int8 path
+    (measured 1.7x at the flagship 1024²-extent shapes, PERF.md round 3);
+    the quantize/dequantize chains are elementwise and fuse into the
+    conv's operand/consumer fusions. int32 accumulation is exact
+    (9 * 1024 * 127² < 2^31)."""
+    xf = x.astype(jnp.float32)
+    s_a = jnp.maximum(jnp.max(jnp.abs(xf)), 1e-8) / 127.0
+    xq = jnp.clip(jnp.round(xf / s_a), -127, 127).astype(jnp.int8)
+    wf = w.astype(jnp.float32)
+    s_w = jnp.maximum(jnp.max(jnp.abs(wf), axis=(0, 1, 2)), 1e-8) / 127.0
+    wq = jnp.clip(jnp.round(wf / s_w[None, None, None, :]), -127, 127).astype(
+        jnp.int8
+    )
+    if chunks:
+        y = jax.lax.conv_general_dilated(
+            halo_pad(xq, chunks),
+            wq,
+            window_strides=(1, 1),
+            padding=((0, 0), (1, 1)),
+            dimension_numbers=("NHWC", "HWIO", "NHWC"),
+            preferred_element_type=jnp.int32,
+        )
+    else:
+        y = jax.lax.conv_general_dilated(
+            xq,
+            wq,
+            window_strides=(1, 1),
+            padding="SAME",
+            dimension_numbers=("NHWC", "HWIO", "NHWC"),
+            preferred_element_type=jnp.int32,
+        )
+    return y.astype(jnp.float32) * (s_a * s_w)[None, None, None, :]
+
+
 def xla_conv3x3(
     x: Array,
     w: Array,
@@ -246,18 +285,26 @@ def xla_conv3x3(
     pro: Optional[Array] = None,
     want_stats: bool = False,
     chunks: int = 0,
+    quant: bool = False,
 ):
     """Reference implementation (and gradient path). x: (B, H, W, Cin)
     NHWC; w: (3, 3, Cin, Cout); pro: (B, 2, Cin) fp32 prologue [a; c].
     chunks>0: `x` is (B*chunks, rows, W, Cin) row-chunked; the conv runs
     VALID-H over halo-exchanged chunks (exact SAME-conv semantics) and
-    stats are per-chunk (aggregate with gn_film_affine(chunks=...))."""
+    stats are per-chunk (aggregate with gn_film_affine(chunks=...)).
+    quant: w8a8 int8 serving path (_int8_conv); the bias/stats epilogue
+    operates on the dequantized fp32 output unchanged."""
     if pro is not None:
         a = pro[:, 0][:, None, None, :]
         c = pro[:, 1][:, None, None, :]
         f = x.astype(jnp.float32) * a + c
+        # stay in compute dtype even when quantizing (an fp32 copy would
+        # double the tensor's bytes if XLA chose to materialise it;
+        # measured neutral, kept for byte-safety)
         x = jax.nn.silu(f).astype(x.dtype)
-    if chunks:
+    if quant:
+        y = _int8_conv(x, w, chunks)
+    elif chunks:
         xh = halo_pad(x, chunks)
         y = jax.lax.conv_general_dilated(
             xh,
@@ -428,7 +475,7 @@ def supported(
     )
 
 
-def _dispatch(x, w, b, pro, want_stats, chunks, xla_only, interpret):
+def _dispatch(x, w, b, pro, want_stats, chunks, xla_only, interpret, quant=False):
     import os
 
     # The Pallas kernel beats XLA's conv 1.5-2x in ISOLATION at every hot
@@ -439,6 +486,8 @@ def _dispatch(x, w, b, pro, want_stats, chunks, xla_only, interpret):
     # is uniform across the graph (no space-to-batch copies to fuse
     # against), the integration regime round 2 measured does not apply
     # verbatim — measured separately (PERF.md round 3).
+    if quant:  # w8a8 int8 serving path is XLA-only
+        return xla_conv3x3(x, w, b, pro, want_stats, chunks, quant=True)
     if xla_only or os.environ.get("KDT_CONV3X3", "xla") != "pallas":
         return xla_conv3x3(x, w, b, pro, want_stats, chunks)
     if interpret is None:
@@ -456,16 +505,21 @@ def _dispatch(x, w, b, pro, want_stats, chunks, xla_only, interpret):
 # --- public entry points with XLA-recompute gradients ----------------------
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(4, 5, 6))
-def _conv3x3_vjp(x, w, b, pro, want_stats, chunks, xla_only):
-    return _dispatch(x, w, b, pro, want_stats, chunks, xla_only, None)
+@functools.partial(jax.custom_vjp, nondiff_argnums=(4, 5, 6, 7))
+def _conv3x3_vjp(x, w, b, pro, want_stats, chunks, xla_only, quant=False):
+    return _dispatch(x, w, b, pro, want_stats, chunks, xla_only, None, quant)
 
 
-def _fwd(x, w, b, pro, want_stats, chunks, xla_only):
-    return _dispatch(x, w, b, pro, want_stats, chunks, xla_only, None), (x, w, b, pro)
+def _fwd(x, w, b, pro, want_stats, chunks, xla_only, quant=False):
+    return (
+        _dispatch(x, w, b, pro, want_stats, chunks, xla_only, None, quant),
+        (x, w, b, pro),
+    )
 
 
-def _bwd(want_stats, chunks, xla_only, res, g):
+def _bwd(want_stats, chunks, xla_only, quant, res, g):
+    # quant: straight-through — the backward differentiates the exact
+    # (non-quantized) reference; the int8 path is a serving-time mode.
     # Differentiate an all-fp32 reference: JAX's conv transpose rejects
     # the mixed bf16-operand / f32-cotangent pattern that
     # preferred_element_type creates, and the forward's f32 accumulation
@@ -510,6 +564,7 @@ def conv3x3(
     chunks: int = 0,
     force_xla: bool = False,
     interpret: Optional[bool] = None,
+    quant: bool = False,
 ):
     """3x3 SAME conv over NHWC with optional fused affine+SiLU prologue
     (`pro`: (B, 2, Cin) = [a; c] applied as silu(x*a + c)) and per-channel
@@ -539,4 +594,4 @@ def conv3x3(
     # forward conv is not differentiable directly with bf16 operands
     # (JAX's conv transpose rejects the mixed-dtype pattern)
     xla_only = force_xla or not supported(x.shape, w.shape, chunks)
-    return _conv3x3_vjp(x, w, b, pro, want_stats, chunks, xla_only)
+    return _conv3x3_vjp(x, w, b, pro, want_stats, chunks, xla_only, quant)

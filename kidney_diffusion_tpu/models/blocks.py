@@ -39,16 +39,34 @@ class SinusoidalPosEmb(nn.Module):
         return jnp.concatenate([jnp.sin(args), jnp.cos(args)], axis=-1)
 
 
+def _quant_site(shape, cout: int, chunks: int) -> bool:
+    """Should this conv site run the w8a8 int8 path? Gate by the FULL
+    image extent and channel width (the 3-channel output conv would put
+    rounding noise straight into the image). The shipped threshold is
+    64² — the in-model sweep (PERF.md round 3) shows int8 keeps winning
+    down through every flagship level (63.9 ms vs 71.6 at a 256² gate),
+    unlike the isolated micro-bench which predicted a loss below 256²."""
+    import os
+
+    min_pix = int(os.environ.get("KDT_QUANT_MIN_PIX", 64 * 64))
+    min_ch = int(os.environ.get("KDT_QUANT_MIN_CH", 32))
+    _, h, w, cin = shape
+    return h * w * max(chunks, 1) >= min_pix and cin >= min_ch and cout >= min_ch
+
+
 class Conv3x3(nn.Module):
     """Param-compatible replacement for `nn.Conv(features, (3, 3))`
     (same param names/shapes/inits) that computes through
     kernels.conv3x3 — the Pallas row-tiled kernel on TPU for the
     super-res hot shapes, XLA elsewhere. Supports the kernel's fused
-    affine+SiLU prologue and GroupNorm-stats epilogue."""
+    affine+SiLU prologue and GroupNorm-stats epilogue. `quant` opts the
+    site into the w8a8 int8 serving path (applied only where
+    `_quant_site` says the int8 MXU rate wins)."""
 
     features: int
     dtype: jnp.dtype = jnp.bfloat16
     chunks: int = 0  # >0: row-chunked input, halo-exchanged VALID conv
+    quant: bool = False
 
     @nn.compact
     def __call__(self, x: Array, pro: Optional[Array] = None, want_stats: bool = False):
@@ -67,6 +85,8 @@ class Conv3x3(nn.Module):
             pro=pro,
             want_stats=want_stats,
             chunks=self.chunks,
+            quant=self.quant
+            and _quant_site(x.shape, self.features, self.chunks),
         )
 
 
@@ -173,6 +193,7 @@ class Upsample(nn.Module):
     dim_out: int
     dtype: jnp.dtype = jnp.bfloat16
     chunks: int = 0
+    quant: bool = False
 
     @nn.compact
     def __call__(self, x: Array) -> Array:
@@ -182,7 +203,7 @@ class Upsample(nn.Module):
         # exact partition of the image) and convolve with halo exchange.
         x = jnp.broadcast_to(x[:, :, None, :, None, :], (b, h, 2, w, 2, c))
         x = x.reshape(b, h * 2, w * 2, c)
-        return Conv3x3(self.dim_out, self.dtype, self.chunks, name="proj")(x)
+        return Conv3x3(self.dim_out, self.dtype, self.chunks, self.quant, name="proj")(x)
 
 
 class Block(nn.Module):
@@ -200,6 +221,7 @@ class Block(nn.Module):
     groups: int = 8
     dtype: jnp.dtype = jnp.bfloat16
     chunks: int = 0
+    quant: bool = False
 
     @nn.compact
     def __call__(
@@ -210,9 +232,9 @@ class Block(nn.Module):
         pro: Optional[Array] = None,
         defer: bool = False,
     ):
-        y, stats = Conv3x3(self.dim_out, self.dtype, self.chunks, name="conv")(
-            x, pro=pro, want_stats=True
-        )
+        y, stats = Conv3x3(
+            self.dim_out, self.dtype, self.chunks, self.quant, name="conv"
+        )(x, pro=pro, want_stats=True)
         gamma, beta = GroupNormParams(name="norm")(self.dim_out)
         affine = gn_film_affine(
             stats, y.shape[1] * y.shape[2], gamma, beta, scale_shift,
@@ -235,6 +257,7 @@ class ResnetBlock(nn.Module):
     groups: int = 8
     dtype: jnp.dtype = jnp.bfloat16
     chunks: int = 0
+    quant: bool = False
 
     @nn.compact
     def __call__(self, x: Array, time_emb: Optional[Array] = None) -> Array:
@@ -248,12 +271,14 @@ class ResnetBlock(nn.Module):
             emb = nn.Dense(self.dim_out * 2, dtype=jnp.float32, name="time_proj")(emb)
             scale_shift = jnp.split(emb, 2, axis=-1)
 
-        y1, pro1 = Block(self.dim_out, self.groups, self.dtype, self.chunks, name="block1")(
-            x, scale_shift, defer=True
-        )
-        h = Block(self.dim_out, self.groups, self.dtype, self.chunks, name="block2")(
-            y1, pro=pro1
-        )
+        y1, pro1 = Block(
+            self.dim_out, self.groups, self.dtype, self.chunks, self.quant,
+            name="block1",
+        )(x, scale_shift, defer=True)
+        h = Block(
+            self.dim_out, self.groups, self.dtype, self.chunks, self.quant,
+            name="block2",
+        )(y1, pro=pro1)
 
         if x.shape[-1] != self.dim_out:
             x = nn.Conv(self.dim_out, (1, 1), dtype=self.dtype, name="res_proj")(x)

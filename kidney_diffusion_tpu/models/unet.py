@@ -83,6 +83,12 @@ class UNetConfig:
     # Exact same function; avoids XLA's per-conv space-to-batch copies at
     # large spatial extents (~15% faster at 1024², PERF.md round 2).
     # Applied when H is divisible by spatial_chunks * 2**num_levels.
+    quant_conv: Optional[str] = None  # "int8": w8a8 dynamic-symmetric
+    # quantized serving path on the big spatial conv sites (weights
+    # per-out-channel, activations per-tensor, quantized in-graph from
+    # the bf16 params — same checkpoints). The MXU's int8 rate is 2x
+    # bf16 on v5e; gated per-site by models.blocks._quant_site. A
+    # serving-time quality/speed trade — training configs leave it None.
     storage_dtype: Optional[str] = None  # e.g. "float8_e4m3fn": STORE
     # inter-block activations and skip tensors in this dtype while all
     # compute stays in `dtype`. The converts fuse into the producing /
@@ -123,6 +129,7 @@ class EfficientUNet(nn.Module):
     ) -> Array:
         cfg = self.config
         dt = cfg.compute_dtype
+        qt = cfg.quant_conv == "int8"  # w8a8 serving path (gated per-site)
         b, h_in, w_in, _ = x.shape
 
         num_levels = cfg.num_levels
@@ -223,7 +230,7 @@ class EfficientUNet(nn.Module):
 
         # ---- init conv -----------------------------------------------------
         if ch:
-            x = Conv3x3(cfg.dim, dt, ch, name="init_conv")(x)
+            x = Conv3x3(cfg.dim, dt, ch, qt, name="init_conv")(x)
         else:
             x = nn.Conv(cfg.dim, (3, 3), dtype=dt, name="init_conv")(x)
         x = store(x)
@@ -235,14 +242,14 @@ class EfficientUNet(nn.Module):
             d = dims[i]
             if cfg.memory_efficient:
                 x = store(Downsample(d, dt, name=f"down{i}_pre")(x))
-            x = store(ResBlock(d, cfg.groups, dt, ch, name=f"down{i}_block0")(x, t_cond))
+            x = store(ResBlock(d, cfg.groups, dt, ch, qt, name=f"down{i}_block0")(x, t_cond))
             if cross_per[i]:
                 x = store(rechunked(CrossAttentionBlock(
                     cfg.attn_heads, cfg.attn_dim_head, dt, name=f"down{i}_cross"
                 )(unchunked(x), context)))
             skips.append(x)
             for j in range(blocks_per[i]):
-                x = store(ResBlock(d, cfg.groups, dt, ch, name=f"down{i}_block{j + 1}")(x, t_cond))
+                x = store(ResBlock(d, cfg.groups, dt, ch, qt, name=f"down{i}_block{j + 1}")(x, t_cond))
                 skips.append(x)
             if attns_per[i]:
                 x = store(rechunked(TransformerBlock(
@@ -252,7 +259,7 @@ class EfficientUNet(nn.Module):
                 x = store(Downsample(dims[i + 1], dt, name=f"down{i}_post")(x))
 
         # ---- middle ----------------------------------------------------------
-        x = store(ResBlock(dims[-1], cfg.groups, dt, ch, name="mid_block1")(x, t_cond))
+        x = store(ResBlock(dims[-1], cfg.groups, dt, ch, qt, name="mid_block1")(x, t_cond))
         if cross_per[-1]:
             x = store(rechunked(CrossAttentionBlock(
                 cfg.attn_heads, cfg.attn_dim_head, dt, name="mid_cross"
@@ -261,7 +268,7 @@ class EfficientUNet(nn.Module):
             x = store(rechunked(TransformerBlock(
                 cfg.attn_heads, cfg.attn_dim_head, cfg.ff_mult, dt, name="mid_attn"
             )(unchunked(x), context)))
-        x = store(ResBlock(dims[-1], cfg.groups, dt, ch, name="mid_block2")(x, t_cond))
+        x = store(ResBlock(dims[-1], cfg.groups, dt, ch, qt, name="mid_block2")(x, t_cond))
 
         # ---- up path -----------------------------------------------------------
         for i in reversed(range(num_levels)):
@@ -269,7 +276,7 @@ class EfficientUNet(nn.Module):
             for j in range(blocks_per[i] + 1):
                 skip = skips.pop()
                 x = jnp.concatenate([store(x), skip], axis=-1)
-                x = store(ResBlock(d, cfg.groups, dt, ch, name=f"up{i}_block{j}")(x, t_cond))
+                x = store(ResBlock(d, cfg.groups, dt, ch, qt, name=f"up{i}_block{j}")(x, t_cond))
             if cross_per[i]:
                 x = store(rechunked(CrossAttentionBlock(
                     cfg.attn_heads, cfg.attn_dim_head, dt, name=f"up{i}_cross"
@@ -280,16 +287,16 @@ class EfficientUNet(nn.Module):
                 )(unchunked(x), context)))
             if cfg.memory_efficient:
                 up_dim = dims[i - 1] if i > 0 else cfg.dim
-                x = store(Upsample(up_dim, dt, ch, name=f"up{i}_upsample")(x))
+                x = store(Upsample(up_dim, dt, ch, qt, name=f"up{i}_upsample")(x))
             elif i > 0:
-                x = store(Upsample(dims[i - 1], dt, ch, name=f"up{i}_upsample")(x))
+                x = store(Upsample(dims[i - 1], dt, ch, qt, name=f"up{i}_upsample")(x))
 
         assert not skips, "skip connection mismatch"
 
         # ---- final -----------------------------------------------------------
         if cfg.init_conv_to_final_conv_residual:
             x = jnp.concatenate([store(x), init_conv_out], axis=-1)
-        x = ResBlock(cfg.dim, cfg.groups, dt, ch, name="final_block")(x, t_cond)
+        x = ResBlock(cfg.dim, cfg.groups, dt, ch, qt, name="final_block")(x, t_cond)
         if ch:
             from ..kernels.conv3x3 import halo_pad
 

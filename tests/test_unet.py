@@ -341,4 +341,58 @@ def test_storage_dtype_narrow_activations():
         same = EfficientUNet(dataclasses.replace(cfg, storage_dtype=None)).apply(
             params, x, t
         )
-        np.testing.assert_array_equal(np.asarray(same), r)
+        np.testing.assert_array_equal(np.asarray(same).ravel(), r)
+
+
+def test_quant_conv_int8_serving_path(monkeypatch):
+    """UNetConfig.quant_conv="int8": the w8a8 serving path stays close to
+    the exact forward, agrees between chunked and unchunked execution,
+    and leaves the default path byte-identical. The site gate is forced
+    open so the tiny config exercises quantized convs at all."""
+    import dataclasses
+
+    monkeypatch.setenv("KDT_QUANT_MIN_PIX", "1")
+    monkeypatch.setenv("KDT_QUANT_MIN_CH", "1")
+
+    for kw in (
+        dict(),
+        dict(memory_efficient=True, init_conv_to_final_conv_residual=True),
+    ):
+        cfg = _tiny(**kw)
+        model = EfficientUNet(cfg)
+        x = jax.random.normal(jax.random.PRNGKey(1), (2, 16, 16, 3))
+        t = jnp.full((2,), 0.4)
+        params = model.init(jax.random.PRNGKey(0), x, t)
+        leaves, treedef = jax.tree.flatten(params)
+        keys = jax.random.split(jax.random.PRNGKey(7), len(leaves))
+        params = jax.tree.unflatten(
+            treedef,
+            [
+                0.1 * jax.random.normal(k, l.shape, l.dtype)
+                for k, l in zip(keys, leaves)
+            ],
+        )
+        ref = model.apply(params, x, t)
+        q = EfficientUNet(dataclasses.replace(cfg, quant_conv="int8")).apply(
+            params, x, t
+        )
+        assert q.shape == ref.shape and q.dtype == ref.dtype
+        r = np.asarray(ref).ravel()
+        o = np.asarray(q).ravel()
+        assert np.isfinite(o).all()
+        rms = float(np.sqrt(((o - r) ** 2).mean()))
+        ref_rms = float(np.sqrt((r**2).mean())) + 1e-8
+        assert rms / ref_rms < 0.1, (kw, rms / ref_rms)
+        # chunked quantized execution approximates the same function
+        # (amax is over the same full tensor; halo zeros are exact int8)
+        qc = EfficientUNet(
+            dataclasses.replace(cfg, quant_conv="int8", spatial_chunks=2)
+        ).apply(params, x, t)
+        oc = np.asarray(qc).ravel()
+        rms_c = float(np.sqrt(((oc - r) ** 2).mean()))
+        assert rms_c / ref_rms < 0.1, (kw, rms_c / ref_rms)
+        # default path untouched
+        same = EfficientUNet(dataclasses.replace(cfg, quant_conv=None)).apply(
+            params, x, t
+        )
+        np.testing.assert_array_equal(np.asarray(same).ravel(), r)

@@ -9,9 +9,10 @@ backend block_until_ready returns early).
 Usage:
     /opt/venv/bin/python tools/perf_stage3_fwd.py none
     /opt/venv/bin/python tools/perf_stage3_fwd.py float8_e4m3fn
+    /opt/venv/bin/python tools/perf_stage3_fwd.py none int8   # w8a8 convs
 
 Prints one JSON line per run. Env: KDT_PERF_T (scan length, default 48),
-KDT_PERF_CHUNKS (spatial_chunks override).
+KDT_PERF_CHUNKS (spatial_chunks override), KDT_QUANT_MIN_PIX (site gate).
 """
 
 import dataclasses
@@ -40,6 +41,8 @@ def main():
 
     storage = sys.argv[1] if len(sys.argv) > 1 else "none"
     storage = None if storage in ("none", "None", "") else storage
+    quant = sys.argv[2] if len(sys.argv) > 2 else None
+    quant = None if quant in ("none", "None", "") else quant
     T = int(os.environ.get("KDT_PERF_T", "48"))
     chunks = os.environ.get("KDT_PERF_CHUNKS")
 
@@ -48,6 +51,7 @@ def main():
     unet = dataclasses.replace(
         stages[2].unet,
         storage_dtype=storage,
+        quant_conv=quant,
         **({"spatial_chunks": int(chunks)} if chunks else {}),
     )
     stages[2] = dataclasses.replace(stages[2], unet=unet, timesteps=T)
@@ -77,6 +81,8 @@ def main():
         json.dumps(
             {
                 "storage_dtype": storage or "bf16 (none)",
+                "quant_conv": quant,
+                "quant_min_pix": os.environ.get("KDT_QUANT_MIN_PIX"),
                 "spatial_chunks": unet.spatial_chunks,
                 "timesteps": T,
                 "per_step_ms": round(best / T * 1e3, 3),

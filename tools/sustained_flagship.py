@@ -209,6 +209,27 @@ def cmd_train(args):
                   "wall_s": round(time.time() - t0, 1)})
 
 
+def _quant_cascade(cascade, quant, storage=None):
+    """A sampling cascade with stage 3 in the given quantized serving
+    mode (same params/checkpoints — weights quantize in-graph) and/or
+    narrow activation storage."""
+    if not quant and not storage:
+        return cascade
+    import dataclasses
+
+    from kidney_diffusion_tpu.cascade import Cascade
+
+    cfg = cascade.config
+    st = list(cfg.stages)
+    st[2] = dataclasses.replace(
+        st[2],
+        unet=dataclasses.replace(
+            st[2].unet, quant_conv=quant, storage_dtype=storage
+        ),
+    )
+    return Cascade(dataclasses.replace(cfg, stages=tuple(st)))
+
+
 def cmd_eval(args):
     """Relative-FID quality tracking for the flagship stage (the
     reference's operating model: evaluation.py:252-288 on generated
@@ -248,32 +269,41 @@ def cmd_eval(args):
 
     result = {"patches": args.patches, "weights": os.path.basename(weights),
               "sample_steps": args.sample_steps, "model": "ultra_res(0, v_param) stage 3"}
-    for tag, ckpt in (("a", args.ckpt_a), ("b", args.ckpt_b)):
-        if ckpt == "init":
-            # pseudo-checkpoint: fresh seeded init, no restore — lets a
-            # run that only kept ckpt_latest still demonstrate
-            # trained-vs-untrained FID movement
-            trainer.drop_state(3)
-        else:
-            # Trainer.load drops the previous checkpoint's state before
-            # the restore — two full 631M states never coexist on chip
-            ok = trainer.load(os.path.join(args.out, ckpt))
-            assert ok, f"missing checkpoint {ckpt} under {args.out}"
+    fids = {}
+    last_ckpt = None
+    for tag, ckpt, quant in (
+        ("a", args.ckpt_a, args.quant_a), ("b", args.ckpt_b, args.quant_b)
+    ):
+        if ckpt != last_ckpt:
+            if ckpt == "init":
+                # pseudo-checkpoint: fresh seeded init, no restore — lets a
+                # run that only kept ckpt_latest still demonstrate
+                # trained-vs-untrained FID movement
+                trainer.drop_state(3)
+            else:
+                # Trainer.load drops the previous checkpoint's state before
+                # the restore — two full 631M states never coexist on chip
+                ok = trainer.load(os.path.join(args.out, ckpt))
+                assert ok, f"missing checkpoint {ckpt} under {args.out}"
+            last_ckpt = ckpt
         ema = trainer.state(3).ema_params
-        gen_dir = os.path.join(args.out, f"fid_gen_{ckpt}")
+        name = f"{ckpt}+{quant}" if quant else ckpt
+        cas = _quant_cascade(cascade, quant)
+        gen_dir = os.path.join(args.out, f"fid_gen_{name}")
         os.makedirs(gen_dir, exist_ok=True)
         for i, img in enumerate(reals):
-            out = cascade.sample_stage(
+            out = cas.sample_stage(
                 ema, 3, jax.random.PRNGKey(2000 + i), batch_size=1,
                 lowres_image=img[None, ::4, ::4], dpmpp_steps=args.sample_steps,
             )
             save_image(np.asarray(out)[0], os.path.join(gen_dir, f"{i:04d}.png"))
         fid = calculate_fid_given_paths((real_dir, gen_dir), feature_fn=feature_fn)
-        result[f"fid_{ckpt}"] = float(fid)
-        result[f"ckpt_{tag}"] = ckpt
-        print(f"FID({ckpt}) = {fid:.4f}", flush=True)
+        result[f"fid_{name}"] = float(fid)
+        fids[tag] = float(fid)
+        result[f"ckpt_{tag}"] = name
+        print(f"FID({name}) = {fid:.4f}", flush=True)
 
-    result["improved"] = result[f"fid_{args.ckpt_b}"] < result[f"fid_{args.ckpt_a}"]
+    result["improved"] = fids["b"] < fids["a"]
     with open(os.path.join(args.out, "fid.json"), "w") as f:
         json.dump(result, f, indent=2)
     print("FID:", json.dumps(result), flush=True)
@@ -306,6 +336,12 @@ def main():
     ev.add_argument("--ckpt-b", required=True)
     ev.add_argument("--patches", type=int, default=48)
     ev.add_argument("--sample-steps", type=int, default=25)
+    ev.add_argument("--quant-a", default=None,
+                    help="serving quantization for set a (e.g. 'int8')")
+    ev.add_argument("--quant-b", default=None,
+                    help="serving quantization for set b — e.g. "
+                         "--ckpt-a X --ckpt-b X --quant-b int8 measures the "
+                         "w8a8 serving mode's FID cost on one checkpoint")
     ev.add_argument("--inception-weights", default=None)
     ev.add_argument("--allow-regress", action="store_true",
                     help="record FIDs without asserting improvement "
