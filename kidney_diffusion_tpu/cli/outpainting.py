@@ -15,7 +15,7 @@ import jax
 import numpy as np
 
 from ..cascade import Cascade
-from ..models.configs import patch_unconditional
+from ..models.configs import patch_unconditional, serving_overrides
 from ..sample.outpaint import generate_outpainted_image
 from ..train import Trainer
 from ..utils.logging import save_image
@@ -34,14 +34,30 @@ def parse_args():
                    help="DDIM fast sampling with N steps")
     p.add_argument("--dpmpp_steps", type=int, default=0,
                    help="DPM-Solver++(2M) fast sampling with N steps")
-    return p.parse_args()
+    p.add_argument("--quant", type=str, default="int8",
+                   choices=("int8", "none"),
+                   help="w8a8 int8 serving mode for the >=512 stages — ON "
+                        "by default (matched FID, artifacts/r3_quant); "
+                        "'none' = exact bf16")
+    p.add_argument("--activation_storage", type=str, default="float8_e4m3fn",
+                   choices=("float8_e4m3fn", "float8_e5m2", "none"),
+                   help="narrow activation storage (default on)")
+    args = p.parse_args()
+    args.quant = None if args.quant == "none" else args.quant
+    args.activation_storage = (
+        None if args.activation_storage == "none" else args.activation_storage
+    )
+    return args
 
 
 def main():
     args = parse_args()
     os.makedirs(args.sample_dir, exist_ok=True)
 
-    config = patch_unconditional()
+    config = serving_overrides(
+        patch_unconditional(),
+        quant=args.quant, storage=args.activation_storage,
+    )
     cascade = Cascade(config)
     trainer = Trainer(cascade)
     trainer.load(args.checkpoint, partial=True)

@@ -25,7 +25,11 @@ import numpy as np
 import jax
 
 from ..cascade import Cascade
-from ..models.configs import patch_conditioned, patch_unconditional
+from ..models.configs import (
+    patch_conditioned,
+    patch_unconditional,
+    serving_overrides,
+)
 from ..train import Trainer
 from ..utils.logging import save_image
 
@@ -61,6 +65,12 @@ def parse_args():
                    help="DPM-Solver++(2M) fast sampling with N steps (overrides --ddim_steps)")
     p.add_argument("--ddim_steps", type=int, default=0,
                    help="use the DDIM fast path with this many steps")
+    p.add_argument("--quant", type=str, default=None, choices=("int8",),
+                   help="w8a8 int8 serving mode for the >=512 stages "
+                        "(same checkpoints, faster stage 3 — PERF.md)")
+    p.add_argument("--activation_storage", type=str, default=None,
+                   choices=("float8_e4m3fn", "float8_e5m2"),
+                   help="narrow activation storage for the >=512 stages")
     return p.parse_args()
 
 
@@ -94,7 +104,10 @@ def main():
     args = parse_args()
     os.makedirs(args.sample_dir, exist_ok=True)
 
-    config = patch_unconditional() if args.unconditional else patch_conditioned()
+    config = serving_overrides(
+        patch_unconditional() if args.unconditional else patch_conditioned(),
+        quant=args.quant, storage=args.activation_storage,
+    )
     cascade = Cascade(config)
     trainer = Trainer(cascade)
     trainer.load(args.checkpoint, partial=True)

@@ -53,14 +53,34 @@ def parse_args():
     p.add_argument("--num_devices", type=int, default=None,
                    help="shard wave batches over this many devices "
                         "(default: all local devices)")
-    return p.parse_args()
+    p.add_argument("--quant", type=str, default="int8",
+                   choices=("int8", "none"),
+                   help="w8a8 int8 serving mode for the >=512 stages — ON "
+                        "by default: 1.4x faster stage 3 from the same "
+                        "checkpoints at matched FID (0.136 vs 0.158, "
+                        "artifacts/r3_quant). --quant none = exact bf16.")
+    p.add_argument("--activation_storage", type=str, default="float8_e4m3fn",
+                   choices=("float8_e4m3fn", "float8_e5m2", "none"),
+                   help="narrow activation storage for the >=512 stages "
+                        "(default on; 'none' = bf16 storage)")
+    args = p.parse_args()
+    args.quant = None if args.quant == "none" else args.quant
+    args.activation_storage = (
+        None if args.activation_storage == "none" else args.activation_storage
+    )
+    return args
 
 
-def load_level_params(ckpt: str, mag: int, version: str):
+def load_level_params(ckpt: str, mag: int, version: str,
+                      quant=None, storage=None):
     """`ckpt` may be one checkpoint holding all stages of the level, or a
     comma-separated list of per-stage checkpoints (each trained in its own
     run) — shape-tolerant loads merge them."""
-    config = ultra_res(mag, version)
+    from ..models.configs import serving_overrides
+
+    config = serving_overrides(
+        ultra_res(mag, version), quant=quant, storage=storage
+    )
     cascade = Cascade(config)
     trainer = Trainer(cascade)
     for path in ckpt.split(","):
@@ -94,7 +114,9 @@ def main():
         print(f"sharding wave batches over {n_dev} devices", flush=True)
 
     # mag 0: one full-cascade patch, unconditional
-    cascade0, params0 = load_level_params(args.ckpt_mag0, 0, args.version)
+    cascade0, params0 = load_level_params(
+        args.ckpt_mag0, 0, args.version, args.quant, args.activation_storage
+    )
     key, sk = jax.random.split(key)
     mag0 = np.asarray(cascade0.sample(params0, sk, batch_size=1))[0]
     save_image(mag0, f"{args.sample_dir}/MAG0-{sample_id}{postfix}.jpg")
@@ -104,7 +126,9 @@ def main():
         return
 
     # mag 1: refine the overview
-    cascade1, params1 = load_level_params(args.ckpt_mag1, 1, args.version)
+    cascade1, params1 = load_level_params(
+        args.ckpt_mag1, 1, args.version, args.quant, args.activation_storage
+    )
     key, sk = jax.random.split(key)
     mag1 = generate_high_res_image(
         cascade1, params1, sk, mag0.astype(np.float32), 1,
@@ -124,7 +148,9 @@ def main():
         return
 
     # mag 2: refine to native resolution (tissue-filtered patches)
-    cascade2, params2 = load_level_params(args.ckpt_mag2, 2, args.version)
+    cascade2, params2 = load_level_params(
+        args.ckpt_mag2, 2, args.version, args.quant, args.activation_storage
+    )
     key, sk = jax.random.split(key)
     mag2 = generate_high_res_image(
         cascade2, params2, sk, mag1.astype(np.float32) / 255.0, 2,

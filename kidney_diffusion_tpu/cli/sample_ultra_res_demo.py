@@ -35,15 +35,27 @@ def main():
     p.add_argument("--max_patches", type=int, default=4)
     p.add_argument("--loops", type=int, default=1)
     p.add_argument("--seed", type=int, default=0)
+    p.add_argument("--quant", type=str, default="int8",
+                   choices=("int8", "none"))
+    p.add_argument("--activation_storage", type=str, default="float8_e4m3fn",
+                   choices=("float8_e4m3fn", "float8_e5m2", "none"))
     args = p.parse_args()
+    args.quant = None if args.quant == "none" else args.quant
+    args.activation_storage = (
+        None if args.activation_storage == "none" else args.activation_storage
+    )
 
     os.makedirs(args.sample_dir, exist_ok=True)
     airs = args.version == "airs"
     mag_sizes = AIRS_MAG_LEVEL_SIZES if airs else MAG_LEVEL_SIZES
     key = jax.random.PRNGKey(args.seed)
 
-    cascade0, params0 = load_level_params(args.ckpt_mag0, 0, args.version)
-    cascade1, params1 = load_level_params(args.ckpt_mag1, 1, args.version)
+    cascade0, params0 = load_level_params(
+        args.ckpt_mag0, 0, args.version, args.quant, args.activation_storage
+    )
+    cascade1, params1 = load_level_params(
+        args.ckpt_mag1, 1, args.version, args.quant, args.activation_storage
+    )
 
     for loop in range(args.loops):
         run_id = uuid4().hex[:8]

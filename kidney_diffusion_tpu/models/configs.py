@@ -303,3 +303,34 @@ def tiny_test_cascade(
         text_embed_dim=text_dim,
         condition_on_text=condition_on_text,
     )
+
+
+def serving_overrides(
+    config: "CascadeConfig",
+    *,
+    quant: Optional[str] = None,
+    storage: Optional[str] = None,
+    min_image_size: int = 512,
+) -> "CascadeConfig":
+    """Serving-time performance overrides: apply the w8a8 int8 conv path
+    (`quant="int8"`) and/or narrow activation storage
+    (`storage="float8_e4m3fn"`) to every stage at or above
+    `min_image_size` — the bandwidth/compute-heavy super-res stages
+    where they pay (PERF.md round 3: flagship stage-3 denoise step
+    79 -> 56.4 ms with both). Checkpoints are unchanged: weights
+    quantize in-graph from the bf16 params. A quality/speed trade —
+    see artifacts/r3_quant for the measured FID cost."""
+    if not quant and not storage:
+        return config
+    stages = tuple(
+        dataclasses.replace(
+            st,
+            unet=dataclasses.replace(
+                st.unet, quant_conv=quant, storage_dtype=storage
+            ),
+        )
+        if st.image_size >= min_image_size
+        else st
+        for st in config.stages
+    )
+    return dataclasses.replace(config, stages=stages)

@@ -275,3 +275,41 @@ def test_shard_by_process_single_process():
     it = make_loader(ds, batch_size=4, num_workers=2, shard_by_process=True)
     b = next(it)
     assert b["images"].shape == (4, 32, 32, 3)
+
+
+def test_spatial_sharded_sampling_quantized(cascade, monkeypatch):
+    """The w8a8 int8 serving path under sp sharding: the per-tensor amax
+    becomes a cross-device reduction GSPMD inserts automatically (max is
+    order-independent), so the sharded quantized sample must match the
+    unsharded quantized sample."""
+    import dataclasses
+
+    import jax
+    import jax.numpy as jnp
+
+    from kidney_diffusion_tpu.cascade import Cascade
+    from kidney_diffusion_tpu.models.configs import serving_overrides
+    from kidney_diffusion_tpu.parallel.mesh import make_mesh, spatial_sharding
+
+    monkeypatch.setenv("KDT_QUANT_MIN_PIX", "1")
+    monkeypatch.setenv("KDT_QUANT_MIN_CH", "1")
+
+    tr = Trainer(cascade)
+    tr.train_step(2, _batch())
+    params = tr.state(2).params
+    lowres = jnp.linspace(0, 1, 16 * 16 * 3).reshape(1, 16, 16, 3)
+    qcas = Cascade(
+        serving_overrides(cascade.config, quant="int8", min_image_size=1)
+    )
+
+    key = jax.random.PRNGKey(0)
+    base = qcas.sample_stage(params, 2, key, batch_size=1, lowres_image=lowres)
+
+    mesh = make_mesh(data=8, model=1)
+    sharded = qcas.sample_stage(
+        params, 2, key, batch_size=1, lowres_image=lowres,
+        spatial_shard=spatial_sharding(mesh),
+    )
+    # 1e-4: the sharded GN-stat sums reduce in a different order, which
+    # shifts the quantization scale by an ulp at a handful of steps
+    np.testing.assert_allclose(np.asarray(base), np.asarray(sharded), atol=1e-4)

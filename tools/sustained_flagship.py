@@ -210,24 +210,21 @@ def cmd_train(args):
 
 
 def _quant_cascade(cascade, quant, storage=None):
-    """A sampling cascade with stage 3 in the given quantized serving
-    mode (same params/checkpoints — weights quantize in-graph) and/or
-    narrow activation storage."""
+    """A sampling cascade with the super-res stages in the given
+    quantized serving mode (same params/checkpoints — weights quantize
+    in-graph) and/or narrow activation storage."""
     if not quant and not storage:
         return cascade
-    import dataclasses
-
     from kidney_diffusion_tpu.cascade import Cascade
+    from kidney_diffusion_tpu.models.configs import serving_overrides
 
-    cfg = cascade.config
-    st = list(cfg.stages)
-    st[2] = dataclasses.replace(
-        st[2],
-        unet=dataclasses.replace(
-            st[2].unet, quant_conv=quant, storage_dtype=storage
-        ),
+    # min_image_size=64 so the --smoke topology (64² stage 3) also
+    # exercises the quantized path
+    return Cascade(
+        serving_overrides(
+            cascade.config, quant=quant, storage=storage, min_image_size=64
+        )
     )
-    return Cascade(dataclasses.replace(cfg, stages=tuple(st)))
 
 
 def cmd_eval(args):
