@@ -35,6 +35,7 @@ Falls back to XLA off-TPU or for unsupported shapes.
 from __future__ import annotations
 
 import functools
+import os
 from typing import Optional, Tuple
 
 import jax
@@ -239,18 +240,35 @@ def halo_pad(x: Array, chunks: int) -> Array:
     return out.reshape(bc, rows + 2, w, c)
 
 
-def _int8_conv(x: Array, w: Array, chunks: int) -> Array:
-    """w8a8 dynamic-symmetric quantized 3x3 conv -> fp32 output.
+def _int8_conv(x: Array, w: Array, chunks: int, a_max: Optional[Array] = None) -> Array:
+    """w8a8 symmetric quantized 3x3 conv -> fp32 output.
 
-    Weights per-output-channel, activations per-tensor (amax/127), both
-    quantized IN-GRAPH from the bf16/fp32 params — no separate quantized
+    Weights per-output-channel, activations per-tensor, both quantized
+    IN-GRAPH from the bf16/fp32 params — no separate quantized
     checkpoint. The int8 conv runs on the MXU's double-rate int8 path
-    (measured 1.7x at the flagship 1024²-extent shapes, PERF.md round 3);
-    the quantize/dequantize chains are elementwise and fuse into the
-    conv's operand/consumer fusions. int32 accumulation is exact
-    (9 * 1024 * 127² < 2^31)."""
+    (measured 1.7x at the flagship 1024²-extent shapes, PERF.md round 3).
+
+    `a_max`: precomputed bound on max|x| (a traced fp32 scalar). When
+    given, the activation scale needs NO reduction over `x`, so the
+    quantize is a pure elementwise consumer of `x` — XLA fuses it into
+    the pass that already reads/produces the activation instead of
+    scheduling a separate amax pass + a dependent quantize pass
+    (cost_stage3.py: dynamic amax costs ~5 GB/fwd extra on the flagship
+    stage 3). The bounds come from the conv stats/range epilogues and
+    exact range algebra in models/blocks.py; values above the bound
+    (there are none when the bound is exact) would CLIP, not wrap.
+    Without `a_max` the scale is the dynamic per-tensor amax, reduced in
+    the input dtype (|x| is exact in fp8/bf16; upcasting first made XLA
+    share a 4-byte copy between the reduce and the quantize).
+
+    int32 accumulation is exact (9 * 1024 * 127² < 2^31)."""
+    if a_max is not None:
+        s_a = jnp.maximum(a_max.astype(jnp.float32), 1e-8) / 127.0
+    else:
+        s_a = jnp.maximum(
+            jnp.max(jnp.abs(x)).astype(jnp.float32), 1e-8
+        ) / 127.0
     xf = x.astype(jnp.float32)
-    s_a = jnp.maximum(jnp.max(jnp.abs(xf)), 1e-8) / 127.0
     xq = jnp.clip(jnp.round(xf / s_a), -127, 127).astype(jnp.int8)
     wf = w.astype(jnp.float32)
     s_w = jnp.maximum(jnp.max(jnp.abs(wf), axis=(0, 1, 2)), 1e-8) / 127.0
@@ -286,6 +304,8 @@ def xla_conv3x3(
     want_stats: bool = False,
     chunks: int = 0,
     quant: bool = False,
+    a_max: Optional[Array] = None,
+    want_range: bool = False,
 ):
     """Reference implementation (and gradient path). x: (B, H, W, Cin)
     NHWC; w: (3, 3, Cin, Cout); pro: (B, 2, Cin) fp32 prologue [a; c].
@@ -293,7 +313,13 @@ def xla_conv3x3(
     VALID-H over halo-exchanged chunks (exact SAME-conv semantics) and
     stats are per-chunk (aggregate with gn_film_affine(chunks=...)).
     quant: w8a8 int8 serving path (_int8_conv); the bias/stats epilogue
-    operates on the dequantized fp32 output unchanged."""
+    operates on the dequantized fp32 output unchanged. `a_max`: bound on
+    max|conv input| (AFTER the pro prologue if given) — see _int8_conv.
+    want_range: additionally return per-channel [max, min] of the
+    POST-bias output as a (B, 2, Cout) fp32 array (per-chunk when
+    chunked) — reductions that join the stats epilogue's existing pass,
+    used by models/blocks.py to propagate exact activation ranges for
+    quantization scales."""
     if pro is not None:
         a = pro[:, 0][:, None, None, :]
         c = pro[:, 1][:, None, None, :]
@@ -303,7 +329,7 @@ def xla_conv3x3(
         # measured neutral, kept for byte-safety)
         x = jax.nn.silu(f).astype(x.dtype)
     if quant:
-        y = _int8_conv(x, w, chunks)
+        y = _int8_conv(x, w, chunks, a_max)
     elif chunks:
         xh = halo_pad(x, chunks)
         y = jax.lax.conv_general_dilated(
@@ -327,8 +353,26 @@ def xla_conv3x3(
     if b is not None:
         y = y + b.astype(jnp.float32)[None, None, None, :]
     out = y.astype(x.dtype)
+    ranges = None
+    if want_range:
+        if want_stats:
+            # post-bias per-channel range from pre-bias reduces (+b is
+            # exact) — sibling reduces of the stats pass over fp32 z,
+            # which that pass materialises anyway: no extra HBM cost.
+            rmax = jnp.max(z, axis=(1, 2))
+            rmin = jnp.min(z, axis=(1, 2))
+            if b is not None:
+                bb = b.astype(jnp.float32)[None, :]
+                rmax, rmin = rmax + bb, rmin + bb
+        else:
+            # no stats pass to join: reduce over the narrow `out` the
+            # consumers read anyway (reducing z here would force a 4-byte
+            # fp32 materialisation of the whole map — measured +GBs/fwd)
+            rmax = jnp.max(out, axis=(1, 2)).astype(jnp.float32)
+            rmin = jnp.min(out, axis=(1, 2)).astype(jnp.float32)
+        ranges = jax.lax.stop_gradient(jnp.stack([rmax, rmin], axis=1))
     if not want_stats:
-        return out
+        return (out, ranges) if want_range else out
     # stats = (B, 2, Cout) = [sum(y), centered sumsq Q = sum((y - mean)^2)].
     # Q is shift-invariant, so it is computed from the PRE-bias output
     # whose per-channel means are small: the naive E[y^2] - E[y]^2 form
@@ -340,7 +384,8 @@ def xla_conv3x3(
     s2z = jnp.sum(z * z, axis=(1, 2))
     q = s2z - s1z * s1z / npix
     s1 = s1z + (npix * b.astype(jnp.float32)[None, :] if b is not None else 0.0)
-    return out, jnp.stack([s1, q], axis=1)  # (B, 2, Cout)
+    stats = jnp.stack([s1, q], axis=1)  # (B, 2, Cout)
+    return (out, stats, ranges) if want_range else (out, stats)
 
 
 @functools.partial(
@@ -475,7 +520,10 @@ def supported(
     )
 
 
-def _dispatch(x, w, b, pro, want_stats, chunks, xla_only, interpret, quant=False):
+def _dispatch(
+    x, w, b, pro, want_stats, chunks, xla_only, interpret, quant=False,
+    a_max=None, want_range=False,
+):
     import os
 
     # The Pallas kernel beats XLA's conv 1.5-2x in ISOLATION at every hot
@@ -486,8 +534,11 @@ def _dispatch(x, w, b, pro, want_stats, chunks, xla_only, interpret, quant=False
     # is uniform across the graph (no space-to-batch copies to fuse
     # against), the integration regime round 2 measured does not apply
     # verbatim — measured separately (PERF.md round 3).
-    if quant:  # w8a8 int8 serving path is XLA-only
-        return xla_conv3x3(x, w, b, pro, want_stats, chunks, quant=True)
+    if quant or want_range:  # int8 / range-epilogue paths are XLA-only
+        return xla_conv3x3(
+            x, w, b, pro, want_stats, chunks, quant=quant,
+            a_max=a_max, want_range=want_range,
+        )
     if xla_only or os.environ.get("KDT_CONV3X3", "xla") != "pallas":
         return xla_conv3x3(x, w, b, pro, want_stats, chunks)
     if interpret is None:
@@ -505,19 +556,31 @@ def _dispatch(x, w, b, pro, want_stats, chunks, xla_only, interpret, quant=False
 # --- public entry points with XLA-recompute gradients ----------------------
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(4, 5, 6, 7))
-def _conv3x3_vjp(x, w, b, pro, want_stats, chunks, xla_only, quant=False):
-    return _dispatch(x, w, b, pro, want_stats, chunks, xla_only, None, quant)
+@functools.partial(jax.custom_vjp, nondiff_argnums=(5, 6, 7, 8, 9))
+def _conv3x3_vjp(
+    x, w, b, pro, a_max, want_stats, chunks, xla_only, quant=False,
+    want_range=False,
+):
+    return _dispatch(
+        x, w, b, pro, want_stats, chunks, xla_only, None, quant,
+        a_max, want_range,
+    )
 
 
-def _fwd(x, w, b, pro, want_stats, chunks, xla_only, quant=False):
+def _fwd(
+    x, w, b, pro, a_max, want_stats, chunks, xla_only, quant=False,
+    want_range=False,
+):
     return (
-        _dispatch(x, w, b, pro, want_stats, chunks, xla_only, None, quant),
+        _dispatch(
+            x, w, b, pro, want_stats, chunks, xla_only, None, quant,
+            a_max, want_range,
+        ),
         (x, w, b, pro),
     )
 
 
-def _bwd(want_stats, chunks, xla_only, quant, res, g):
+def _bwd(want_stats, chunks, xla_only, quant, want_range, res, g):
     # quant: straight-through — the backward differentiates the exact
     # (non-quantized) reference; the int8 path is a serving-time mode.
     # Differentiate an all-fp32 reference: JAX's conv transpose rejects
@@ -537,9 +600,14 @@ def _bwd(want_stats, chunks, xla_only, quant, res, g):
         xx, ww = next(it), next(it)
         bb = next(it) if b is not None else None
         pp = next(it) if pro is not None else None
+        # the exact reference never needs the range epilogue; its
+        # outputs are stop_gradient'd anyway, so drop them from the
+        # differentiated graph and from the cotangent structure
         return xla_conv3x3(xx, ww, bb, pp, want_stats, chunks)
 
     _, vjp = jax.vjp(ref, *diff)
+    if want_range:  # strip the (zero) range cotangent
+        g = g[:-1] if want_stats else g[0]
     g32 = jax.tree.map(lambda t: t.astype(jnp.float32), g)
     grads = list(vjp(g32))
     gx = grads[0].astype(x.dtype)
@@ -548,7 +616,7 @@ def _bwd(want_stats, chunks, xla_only, quant, res, g):
     gb = grads[k].astype(b.dtype) if b is not None else None
     k += 1 if b is not None else 0
     gp = grads[k].astype(pro.dtype) if pro is not None else None
-    return gx, gw, gb, gp
+    return gx, gw, gb, gp, None  # a_max: no gradient (quant scale bound)
 
 
 _conv3x3_vjp.defvjp(_fwd, _bwd)
@@ -565,6 +633,8 @@ def conv3x3(
     force_xla: bool = False,
     interpret: Optional[bool] = None,
     quant: bool = False,
+    a_max: Optional[Array] = None,
+    want_range: bool = False,
 ):
     """3x3 SAME conv over NHWC with optional fused affine+SiLU prologue
     (`pro`: (B, 2, Cin) = [a; c] applied as silu(x*a + c)) and per-channel
@@ -584,6 +654,9 @@ def conv3x3(
     shapes; XLA elsewhere. `interpret=True` forces the Pallas
     interpreter (kernel tests)."""
     if interpret is not None:
+        assert not quant and not want_range, (
+            "the Pallas interpreter path has no int8 / range-epilogue mode"
+        )
         if b is None:
             b = jnp.zeros((w.shape[-1],), jnp.float32)
         th = _pick_th(x.shape[1], x.shape[2], x.shape[3], w.shape[-1])
@@ -594,4 +667,6 @@ def conv3x3(
     # forward conv is not differentiable directly with bf16 operands
     # (JAX's conv transpose rejects the mixed-dtype pattern)
     xla_only = force_xla or not supported(x.shape, w.shape, chunks)
-    return _conv3x3_vjp(x, w, b, pro, want_stats, chunks, xla_only, quant)
+    return _conv3x3_vjp(
+        x, w, b, pro, a_max, want_stats, chunks, xla_only, quant, want_range
+    )

@@ -61,7 +61,11 @@ class Conv3x3(nn.Module):
     super-res hot shapes, XLA elsewhere. Supports the kernel's fused
     affine+SiLU prologue and GroupNorm-stats epilogue. `quant` opts the
     site into the w8a8 int8 serving path (applied only where
-    `_quant_site` says the int8 MXU rate wins)."""
+    `_quant_site` says the int8 MXU rate wins); `a_max` is a precomputed
+    bound on the conv input's amax (post-prologue) so the int8 scale
+    needs no reduction over the activation, and `want_range` adds the
+    per-channel [max, min] output epilogue both of which feed the range
+    propagation in EfficientUNet (see kernels.conv3x3)."""
 
     features: int
     dtype: jnp.dtype = jnp.bfloat16
@@ -69,7 +73,14 @@ class Conv3x3(nn.Module):
     quant: bool = False
 
     @nn.compact
-    def __call__(self, x: Array, pro: Optional[Array] = None, want_stats: bool = False):
+    def __call__(
+        self,
+        x: Array,
+        pro: Optional[Array] = None,
+        want_stats: bool = False,
+        a_max: Optional[Array] = None,
+        want_range: bool = False,
+    ):
         from ..kernels.conv3x3 import conv3x3
 
         kernel = self.param(
@@ -87,6 +98,8 @@ class Conv3x3(nn.Module):
             chunks=self.chunks,
             quant=self.quant
             and _quant_site(x.shape, self.features, self.chunks),
+            a_max=a_max,
+            want_range=want_range,
         )
 
 
@@ -161,6 +174,58 @@ def gn_film_affine(
     return out
 
 
+def ranges_enabled() -> bool:
+    """Range-propagated quantization scales (default). KDT_QUANT_RANGES=0
+    falls back to per-conv dynamic amax reductions — the A/B escape
+    hatch (dynamic costs ~5 GB/fwd of extra HBM passes on the flagship
+    stage 3, cost_stage3.py)."""
+    import os
+
+    return os.environ.get("KDT_QUANT_RANGES", "1") != "0"
+
+
+# |silu| on (-inf, 0] is bounded by |silu(-1.2785)| = 0.2785; silu is
+# monotone on either side of that single interior minimum, so the max of
+# |silu| over z <= zhi is max(silu(zhi), 0.2785).
+_SILU_NEG_BOUND = 0.2785
+# ranges are reduced in fp32, but the tensors they bound round through
+# the bf16 compute dtype (and elementwise chains round twice: e.g. the
+# deferred affine+silu) — inflate every produced bound past two bf16
+# half-ulps so it stays a TRUE bound on the rounded values
+_ROUND = 1.0 + 2.0**-7
+
+
+def amax_from_ranges(ranges: Array) -> Array:
+    """Per-tensor amax bound (fp32 scalar) from a conv range epilogue's
+    per-channel [max, min] — (B[*chunks], 2, C) from kernels.conv3x3.
+    Exact up to the compute-dtype rounding allowance."""
+    return _ROUND * jnp.max(
+        jnp.maximum(jnp.abs(ranges[:, 0]), jnp.abs(ranges[:, 1]))
+    ).astype(jnp.float32)
+
+
+def silu_affine_amax(affine: Array, ranges: Array) -> Array:
+    """Bound (fp32 scalar) on max|silu(a*y + c)| given the affine
+    (B[*chunks], 2, C) and y's per-channel [max, min] ranges — the exact
+    range of the deferred GroupNorm+FiLM+SiLU activation that the next
+    conv consumes. Tight to within the silu negative-lobe constant and
+    the compute-dtype rounding allowance."""
+    a, c = affine[:, 0], affine[:, 1]
+    zhi = jnp.maximum(a * ranges[:, 0], a * ranges[:, 1]) + c
+    return _ROUND * jnp.maximum(
+        jnp.max(jax.nn.silu(zhi)), _SILU_NEG_BOUND
+    ).astype(jnp.float32)
+
+
+def dynamic_amax(x: Array) -> Array:
+    """Per-tensor amax (fp32 scalar), reduced in the input dtype. Used
+    at range-propagation re-anchor points (producers without a range
+    epilogue: plain-conv downsamples, attention residuals) — a cheap
+    1-2 byte pass over tensors far smaller than the per-conv activations
+    the propagated bounds make reduction-free."""
+    return jnp.max(jnp.abs(x)).astype(jnp.float32)
+
+
 class Downsample(nn.Module):
     """2x downsample: 2x2 stride-2 conv.
 
@@ -196,14 +261,25 @@ class Upsample(nn.Module):
     quant: bool = False
 
     @nn.compact
-    def __call__(self, x: Array) -> Array:
+    def __call__(self, x: Array, a_max: Optional[Array] = None):
         b, h, w, c = x.shape
         # nearest x2 as broadcast+reshape (fuses; avoids gather-based
         # repeat). Row-chunked inputs upsample chunk-locally (rows are an
         # exact partition of the image) and convolve with halo exchange.
         x = jnp.broadcast_to(x[:, :, None, :, None, :], (b, h, 2, w, 2, c))
         x = x.reshape(b, h * 2, w * 2, c)
-        return Conv3x3(self.dim_out, self.dtype, self.chunks, self.quant, name="proj")(x)
+        track = self.quant and ranges_enabled()
+        if not track:
+            return Conv3x3(
+                self.dim_out, self.dtype, self.chunks, self.quant, name="proj"
+            )(x)
+        # nearest-neighbour preserves amax exactly, so the input bound
+        # carries through; the proj's range epilogue re-anchors the
+        # propagated bound exactly for downstream consumers
+        out, ranges = Conv3x3(
+            self.dim_out, self.dtype, self.chunks, self.quant, name="proj"
+        )(x, a_max=a_max, want_range=True)
+        return out, amax_from_ranges(ranges)
 
 
 class Block(nn.Module):
@@ -231,20 +307,34 @@ class Block(nn.Module):
         *,
         pro: Optional[Array] = None,
         defer: bool = False,
+        a_max: Optional[Array] = None,
     ):
-        y, stats = Conv3x3(
+        """`a_max` bounds this conv's (post-prologue) input amax; in
+        quant mode the return value additionally carries the bound on
+        THIS block's activation output — exact range propagation with no
+        activation-sized reductions (see kernels.conv3x3 `a_max`)."""
+        track = self.quant and ranges_enabled()
+        conv = Conv3x3(
             self.dim_out, self.dtype, self.chunks, self.quant, name="conv"
-        )(x, pro=pro, want_stats=True)
+        )
+        if track:
+            y, stats, ranges = conv(
+                x, pro=pro, want_stats=True, a_max=a_max, want_range=True
+            )
+        else:
+            y, stats = conv(x, pro=pro, want_stats=True)
         gamma, beta = GroupNormParams(name="norm")(self.dim_out)
         affine = gn_film_affine(
             stats, y.shape[1] * y.shape[2], gamma, beta, scale_shift,
             self.groups, chunks=self.chunks,
         )
+        out_amax = silu_affine_amax(affine, ranges) if track else None
         if defer:
-            return y, affine
+            return (y, affine, out_amax) if track else (y, affine)
         a = affine[:, 0][:, None, None, :]
         c = affine[:, 1][:, None, None, :]
-        return nn.silu(y.astype(jnp.float32) * a + c).astype(y.dtype)
+        out = nn.silu(y.astype(jnp.float32) * a + c).astype(y.dtype)
+        return (out, out_amax) if track else out
 
 
 class ResnetBlock(nn.Module):
@@ -260,7 +350,18 @@ class ResnetBlock(nn.Module):
     quant: bool = False
 
     @nn.compact
-    def __call__(self, x: Array, time_emb: Optional[Array] = None) -> Array:
+    def __call__(
+        self,
+        x: Array,
+        time_emb: Optional[Array] = None,
+        a_max: Optional[Array] = None,
+    ):
+        """In quant mode returns (out, out_amax): `a_max` bounds the
+        input's amax and `out_amax` bounds the output's — block1's scale
+        comes from the input bound, block2's from block1's exact
+        silu-affine range, and the residual add bounds subadditively
+        (|h + res|max <= |h|max + |res|max)."""
+        track = self.quant and ranges_enabled()
         x = x.astype(self.dtype)  # inputs may arrive in a narrow storage
         # dtype (UNetConfig.storage_dtype); the cast fuses into our reads
         scale_shift = None
@@ -271,18 +372,32 @@ class ResnetBlock(nn.Module):
             emb = nn.Dense(self.dim_out * 2, dtype=jnp.float32, name="time_proj")(emb)
             scale_shift = jnp.split(emb, 2, axis=-1)
 
-        y1, pro1 = Block(
+        block1 = Block(
             self.dim_out, self.groups, self.dtype, self.chunks, self.quant,
             name="block1",
-        )(x, scale_shift, defer=True)
-        h = Block(
+        )
+        block2 = Block(
             self.dim_out, self.groups, self.dtype, self.chunks, self.quant,
             name="block2",
-        )(y1, pro=pro1)
+        )
+        if track:
+            if a_max is None:  # untracked producer: one cheap reduction
+                a_max = dynamic_amax(x)
+            y1, pro1, a1 = block1(x, scale_shift, defer=True, a_max=a_max)
+            h, ah = block2(y1, pro=pro1, a_max=a1)
+        else:
+            y1, pro1 = block1(x, scale_shift, defer=True)
+            h = block2(y1, pro=pro1)
 
         if x.shape[-1] != self.dim_out:
-            x = nn.Conv(self.dim_out, (1, 1), dtype=self.dtype, name="res_proj")(x)
-        return h + x
+            res = nn.Conv(self.dim_out, (1, 1), dtype=self.dtype, name="res_proj")(x)
+            ares = dynamic_amax(res) if track else None
+        else:
+            res, ares = x, a_max
+        if not track:
+            return h + res
+        # subadditive bound on the residual add, + rounding allowance
+        return h + res, _ROUND * (ah + ares)
 
 
 def _attention(q: Array, k: Array, v: Array, dtype) -> Array:

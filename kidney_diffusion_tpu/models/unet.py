@@ -41,6 +41,9 @@ from .blocks import (
     SinusoidalPosEmb,
     TransformerBlock,
     Upsample,
+    amax_from_ranges,
+    dynamic_amax,
+    ranges_enabled,
 )
 
 Array = jax.Array
@@ -223,80 +226,150 @@ class EfficientUNet(nn.Module):
             return y.reshape(b * ch, y.shape[1] // ch, *y.shape[2:]) if ch else y
 
         sdt = jnp.dtype(cfg.storage_dtype) if cfg.storage_dtype else None
+        # range propagation (w8a8 serving): thread a bound on each
+        # tensor's amax alongside it so every int8 conv's scale is a
+        # precomputed scalar — no per-conv amax reduction passes (see
+        # kernels.conv3x3 `a_max` / models.blocks range helpers). `xa` is
+        # None wherever the bound is unknown (conv falls back to its
+        # dynamic amax); untracked producers (plain-conv downsamples,
+        # attention residuals) re-anchor with one cheap reduction.
+        track = qt and ranges_enabled()
+        # narrow storage rounds half-ulp either way; inflate carried
+        # bounds so they stay true bounds on the stored tensor
+        sf = 1.0 + 2.0 ** -(jnp.finfo(sdt).nmant) if sdt is not None else 1.0
 
-        def store(y):
-            """Narrow-dtype storage of a block-boundary feature map."""
-            return y.astype(sdt) if sdt is not None else y
+        def store(y, ya=None):
+            """Narrow-dtype storage of a block-boundary feature map
+            (+ its carried amax bound)."""
+            if sdt is None:
+                return (y, ya) if track else y
+            y = y.astype(sdt)
+            if not track:
+                return y
+            return y, (None if ya is None else ya * sf)
+
+        def reanchor(y):
+            """Exact amax of an untracked (already-stored) tensor."""
+            return dynamic_amax(y) if track else None
 
         # ---- init conv -----------------------------------------------------
+        xa = None
         if ch:
-            x = Conv3x3(cfg.dim, dt, ch, qt, name="init_conv")(x)
+            if track:
+                x, r = Conv3x3(cfg.dim, dt, ch, qt, name="init_conv")(
+                    x, want_range=True
+                )
+                xa = amax_from_ranges(r)
+            else:
+                x = Conv3x3(cfg.dim, dt, ch, qt, name="init_conv")(x)
         else:
             x = nn.Conv(cfg.dim, (3, 3), dtype=dt, name="init_conv")(x)
-        x = store(x)
-        init_conv_out = x
+            xa = reanchor(x)
+        if track:
+            x, xa = store(x, xa)
+        else:
+            x = store(x)
+        init_conv_out, init_a = x, xa
+
+        def res_block(name, d, x, xa):
+            blk = ResBlock(d, cfg.groups, dt, ch, qt, name=name)
+            if track:
+                x, xa = blk(x, t_cond, xa)
+                return store(x, xa)
+            return store(blk(x, t_cond)), None
+
+        def attn_block(mod, x):
+            x = rechunked(mod(unchunked(x), context))
+            if track:
+                x, _ = store(x, None)
+                return x, reanchor(x)
+            return store(x), None
 
         # ---- down path -------------------------------------------------------
         skips = []
         for i in range(num_levels):
             d = dims[i]
             if cfg.memory_efficient:
-                x = store(Downsample(d, dt, name=f"down{i}_pre")(x))
-            x = store(ResBlock(d, cfg.groups, dt, ch, qt, name=f"down{i}_block0")(x, t_cond))
+                x = Downsample(d, dt, name=f"down{i}_pre")(x)
+                if track:
+                    x, _ = store(x, None)
+                    xa = reanchor(x)
+                else:
+                    x = store(x)
+            x, xa = res_block(f"down{i}_block0", d, x, xa)
             if cross_per[i]:
-                x = store(rechunked(CrossAttentionBlock(
+                x, xa = attn_block(CrossAttentionBlock(
                     cfg.attn_heads, cfg.attn_dim_head, dt, name=f"down{i}_cross"
-                )(unchunked(x), context)))
-            skips.append(x)
+                ), x)
+            skips.append((x, xa))
             for j in range(blocks_per[i]):
-                x = store(ResBlock(d, cfg.groups, dt, ch, qt, name=f"down{i}_block{j + 1}")(x, t_cond))
-                skips.append(x)
+                x, xa = res_block(f"down{i}_block{j + 1}", d, x, xa)
+                skips.append((x, xa))
             if attns_per[i]:
-                x = store(rechunked(TransformerBlock(
+                x, xa = attn_block(TransformerBlock(
                     cfg.attn_heads, cfg.attn_dim_head, cfg.ff_mult, dt, name=f"down{i}_attn"
-                )(unchunked(x), context)))
+                ), x)
             if not cfg.memory_efficient and i < num_levels - 1:
-                x = store(Downsample(dims[i + 1], dt, name=f"down{i}_post")(x))
+                x = Downsample(dims[i + 1], dt, name=f"down{i}_post")(x)
+                if track:
+                    x, _ = store(x, None)
+                    xa = reanchor(x)
+                else:
+                    x = store(x)
 
         # ---- middle ----------------------------------------------------------
-        x = store(ResBlock(dims[-1], cfg.groups, dt, ch, qt, name="mid_block1")(x, t_cond))
+        x, xa = res_block("mid_block1", dims[-1], x, xa)
         if cross_per[-1]:
-            x = store(rechunked(CrossAttentionBlock(
+            x, xa = attn_block(CrossAttentionBlock(
                 cfg.attn_heads, cfg.attn_dim_head, dt, name="mid_cross"
-            )(unchunked(x), context)))
+            ), x)
         if attns_per[-1]:
-            x = store(rechunked(TransformerBlock(
+            x, xa = attn_block(TransformerBlock(
                 cfg.attn_heads, cfg.attn_dim_head, cfg.ff_mult, dt, name="mid_attn"
-            )(unchunked(x), context)))
-        x = store(ResBlock(dims[-1], cfg.groups, dt, ch, qt, name="mid_block2")(x, t_cond))
+            ), x)
+        x, xa = res_block("mid_block2", dims[-1], x, xa)
 
         # ---- up path -----------------------------------------------------------
         for i in reversed(range(num_levels)):
             d = dims[i]
             for j in range(blocks_per[i] + 1):
-                skip = skips.pop()
-                x = jnp.concatenate([store(x), skip], axis=-1)
-                x = store(ResBlock(d, cfg.groups, dt, ch, qt, name=f"up{i}_block{j}")(x, t_cond))
+                skip, ska = skips.pop()
+                if track:
+                    x, xa = store(x, xa)
+                    xa = jnp.maximum(xa, ska) if xa is not None and ska is not None else None
+                else:
+                    x = store(x)
+                x = jnp.concatenate([x, skip], axis=-1)
+                x, xa = res_block(f"up{i}_block{j}", d, x, xa)
             if cross_per[i]:
-                x = store(rechunked(CrossAttentionBlock(
+                x, xa = attn_block(CrossAttentionBlock(
                     cfg.attn_heads, cfg.attn_dim_head, dt, name=f"up{i}_cross"
-                )(unchunked(x), context)))
+                ), x)
             if attns_per[i]:
-                x = store(rechunked(TransformerBlock(
+                x, xa = attn_block(TransformerBlock(
                     cfg.attn_heads, cfg.attn_dim_head, cfg.ff_mult, dt, name=f"up{i}_attn"
-                )(unchunked(x), context)))
-            if cfg.memory_efficient:
-                up_dim = dims[i - 1] if i > 0 else cfg.dim
-                x = store(Upsample(up_dim, dt, ch, qt, name=f"up{i}_upsample")(x))
-            elif i > 0:
-                x = store(Upsample(dims[i - 1], dt, ch, qt, name=f"up{i}_upsample")(x))
+                ), x)
+            if cfg.memory_efficient or i > 0:
+                up_dim = (dims[i - 1] if i > 0 else cfg.dim) if cfg.memory_efficient else dims[i - 1]
+                up = Upsample(up_dim, dt, ch, qt, name=f"up{i}_upsample")
+                if track:
+                    x, xa = up(x, xa)
+                    x, xa = store(x, xa)
+                else:
+                    x = store(up(x))
 
         assert not skips, "skip connection mismatch"
 
         # ---- final -----------------------------------------------------------
         if cfg.init_conv_to_final_conv_residual:
-            x = jnp.concatenate([store(x), init_conv_out], axis=-1)
-        x = ResBlock(cfg.dim, cfg.groups, dt, ch, qt, name="final_block")(x, t_cond)
+            if track:
+                x, xa = store(x, xa)
+                xa = jnp.maximum(xa, init_a) if xa is not None and init_a is not None else None
+            else:
+                x = store(x)
+            x = jnp.concatenate([x, init_conv_out], axis=-1)
+        fb = ResBlock(cfg.dim, cfg.groups, dt, ch, qt, name="final_block")
+        x = fb(x, t_cond, xa)[0] if track else fb(x, t_cond)
         if ch:
             from ..kernels.conv3x3 import halo_pad
 

@@ -1,7 +1,7 @@
 """Print XLA cost analysis (bytes accessed, FLOPs) for the flagship
 stage-3 forward under a given UNetConfig.storage_dtype.
 
-Usage: /opt/venv/bin/python tools/cost_stage3.py [none|float8_e4m3fn]
+Usage: /opt/venv/bin/python tools/cost_stage3.py [none|float8_e4m3fn] [none|int8]
 Env: KDT_COST_RES (default 1024), KDT_COST_CHUNKS (default config).
 """
 
@@ -26,6 +26,8 @@ def main():
 
     storage = sys.argv[1] if len(sys.argv) > 1 else "none"
     storage = None if storage in ("none", "None", "") else storage
+    quant = sys.argv[2] if len(sys.argv) > 2 else None
+    quant = None if quant in ("none", "None", "") else quant
     res = int(os.environ.get("KDT_COST_RES", "1024"))
     chunks = os.environ.get("KDT_COST_CHUNKS")
 
@@ -33,6 +35,7 @@ def main():
     cfg = dataclasses.replace(
         cfg,
         storage_dtype=storage,
+        quant_conv=quant,
         **({"spatial_chunks": int(chunks)} if chunks else {}),
     )
     model = EfficientUNet(cfg)
@@ -60,6 +63,7 @@ def main():
         json.dumps(
             {
                 "storage_dtype": storage or "bf16 (none)",
+                "quant_conv": quant or "none",
                 "res": res,
                 "spatial_chunks": cfg.spatial_chunks,
                 "bytes_accessed_GB": round(ca.get("bytes accessed", 0) / 1e9, 2),
