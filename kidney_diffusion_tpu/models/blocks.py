@@ -226,6 +226,41 @@ def dynamic_amax(x: Array) -> Array:
     return jnp.max(jnp.abs(x)).astype(jnp.float32)
 
 
+class FinalConv(nn.Module):
+    """Output 3x3 conv: bf16 operands, fp32 accumulation.
+
+    Param-compatible with an `nn.Conv(dtype=float32)` (same kernel/bias
+    names/shapes, zeros kernel init) but reads the full-res input in the
+    compute dtype: an fp32-dtype conv makes XLA materialise an fp32 copy
+    of the 1024²x128 operand as the conv input and pay the fp32 MXU
+    rate, for operand values that already round through bf16 upstream
+    (the model output was cast to bf16 afterwards anyway). Computes
+    through kernels.conv3x3 — fp32 accumulation via
+    preferred_element_type and the custom VJP that makes the
+    bf16-operand conv differentiable (chunked inputs halo-exchange
+    inside the kernel)."""
+
+    features: int
+    dtype: jnp.dtype = jnp.bfloat16
+    chunks: int = 0
+
+    @nn.compact
+    def __call__(self, x: Array) -> Array:
+        from ..kernels.conv3x3 import conv3x3
+
+        kernel = self.param(
+            "kernel", nn.initializers.zeros, (3, 3, x.shape[-1], self.features)
+        )
+        bias = self.param("bias", nn.initializers.zeros, (self.features,))
+        return conv3x3(
+            x.astype(self.dtype),
+            kernel.astype(self.dtype),
+            bias,
+            chunks=self.chunks,
+            force_xla=True,
+        )
+
+
 class Downsample(nn.Module):
     """2x downsample: 2x2 stride-2 conv.
 

@@ -37,6 +37,7 @@ from .blocks import (
     Conv3x3,
     CrossAttentionBlock,
     Downsample,
+    FinalConv,
     ResnetBlock,
     SinusoidalPosEmb,
     TransformerBlock,
@@ -98,6 +99,12 @@ class UNetConfig:
     # consuming convs, so every materialised feature map costs half the
     # HBM bytes — a throughput/precision trade for the bandwidth-bound
     # 1024² stage (measured in PERF.md round 3). None = exact bf16 path.
+    # NOTE: narrowing the conv1->conv2 intra-block intermediate was
+    # measured and REJECTED: XLA already keeps it virtual (recomputed
+    # from the conv's int32/fp32 output into both the stats pass and the
+    # consumer), so an explicit narrow cast ADDS a materialisation
+    # (exact path 33.9 -> 37.0 GB/fwd; quant path byte-identical —
+    # PERF.md round 3, cost_stage3.py KDT_COST_INTRA probe).
 
     @property
     def num_levels(self) -> int:
@@ -370,18 +377,12 @@ class EfficientUNet(nn.Module):
             x = jnp.concatenate([x, init_conv_out], axis=-1)
         fb = ResBlock(cfg.dim, cfg.groups, dt, ch, qt, name="final_block")
         x = fb(x, t_cond, xa)[0] if track else fb(x, t_cond)
-        if ch:
-            from ..kernels.conv3x3 import halo_pad
-
-            x = halo_pad(x, ch)
-        out = nn.Conv(
-            cfg.channels,
-            (3, 3),
-            padding=((0, 0), (1, 1)) if ch else "SAME",
-            dtype=jnp.float32,
-            kernel_init=nn.initializers.zeros,
-            name="final_conv",
-        )(x.astype(jnp.float32))
+        # bf16 operands + fp32 accumulation: an fp32-dtype conv made XLA
+        # materialise an fp32 copy of the full-res 128-channel input as
+        # the conv operand and run the MXU at the fp32 rate, for values
+        # that are bf16-precision already (and an output that was cast
+        # to bf16 right after). Param tree unchanged (kernel/bias).
+        out = FinalConv(cfg.channels, dtype=dt, chunks=ch, name="final_conv")(x)
         return unchunked(out)
 
 
