@@ -190,6 +190,109 @@ class Cascade:
             )
         return jnp.mean(losses)
 
+    def stage_distill_loss(
+        self,
+        student_params: Params,
+        teacher_params: Params,
+        unet_number: int,
+        key: Array,
+        images: Array,
+        *,
+        num_student_steps: int,
+        text_embeds: Optional[Array] = None,
+        cond_images: Optional[Array] = None,
+        teacher_cond_scale: float = 1.0,
+    ) -> Array:
+        """Mean progressive-distillation loss for one stage
+        (core/distill.py; arXiv:2202.00512): the student's one DDIM step
+        on its `num_student_steps` grid is matched to two teacher steps.
+
+        Conditioning mirrors `stage_loss` with two deliberate
+        differences, because distillation matches the SAMPLING-time
+        model: the low-res conditioning image is noised at the fixed
+        `lowres_sample_noise_level` (not a random augmentation level),
+        and text conditioning is never dropped. `teacher_cond_scale > 1`
+        distills classifier-free guidance into the unguided student
+        (the student is then served WITHOUT the doubled-batch CFG pass).
+        """
+        from .core.distill import progressive_distill_loss
+
+        cfg = self.config
+        st = cfg.stage(unet_number)
+        model = self.models[unet_number - 1]
+        gd = self.diffusions[unet_number - 1]
+        b = images.shape[0]
+
+        k_time, k_noise, k_crop, k_lrn = jax.random.split(key, 4)
+
+        x_start = normalize_img(resize_image_to(images, st.image_size, "linear"))
+
+        model_kwargs: Dict[str, Any] = {}
+        if st.unet.lowres_cond:
+            prev_size = cfg.stage(unet_number - 1).image_size
+            lowres = resize_image_to(
+                resize_image_to(images, prev_size, "linear"), st.image_size, "nearest"
+            )
+            lowres = normalize_img(lowres)
+        else:
+            lowres = None
+
+        if st.random_crop_size is not None:
+            if lowres is not None:
+                x_start, lowres = _random_crop_pair(k_crop, st.random_crop_size, x_start, lowres)
+            else:
+                (x_start,) = _random_crop_pair(k_crop, st.random_crop_size, x_start)
+
+        if lowres is not None:
+            noise_level = jnp.full((b,), cfg.lowres_sample_noise_level, jnp.float32)
+            lr_noise = jax.random.normal(k_lrn, lowres.shape, jnp.float32)
+            lowres_noised, *_ = self.lowres_diffusion.q_sample(lowres, noise_level, lr_noise)
+            model_kwargs["lowres_cond_img"] = lowres_noised
+            model_kwargs["lowres_noise_times"] = noise_level
+
+        if st.unet.cond_images_channels:
+            assert cond_images is not None
+            model_kwargs["cond_images"] = cond_images
+
+        has_text = cfg.condition_on_text and st.unet.text_embed_dim is not None
+        if has_text:
+            assert text_embeds is not None
+            model_kwargs["text_embeds"] = text_embeds
+            model_kwargs["cond_drop_mask"] = jnp.zeros((b,))
+
+        def student_fn(x_t, t):
+            return model.apply(student_params, x_t, t, **model_kwargs)
+
+        if has_text and teacher_cond_scale != 1.0:
+            doubled = {k: jnp.concatenate([v, v], axis=0) for k, v in model_kwargs.items()}
+            doubled["cond_drop_mask"] = jnp.concatenate(
+                [jnp.zeros((b,)), jnp.ones((b,))], axis=0
+            )
+
+            def teacher_fn(x_t, t):
+                pred2 = model.apply(
+                    teacher_params,
+                    jnp.concatenate([x_t, x_t], axis=0),
+                    jnp.concatenate([t, t], axis=0),
+                    **doubled,
+                )
+                cond_pred, uncond_pred = jnp.split(pred2, 2, axis=0)
+                return uncond_pred + (cond_pred - uncond_pred) * teacher_cond_scale
+
+        else:
+
+            def teacher_fn(x_t, t):
+                return model.apply(teacher_params, x_t, t, **model_kwargs)
+
+        noise = jax.random.normal(k_noise, x_start.shape, jnp.float32)
+        losses = progressive_distill_loss(
+            gd, teacher_fn, student_fn, x_start, k_time, noise,
+            num_student_steps=num_student_steps,
+            teacher_objective=st.pred_objective,
+            student_objective=st.pred_objective,
+        )
+        return jnp.mean(losses)
+
     # ---- sampling -----------------------------------------------------------
 
     def sample_stage(

@@ -1,3 +1,4 @@
+from .distill import DistillTrainer
 from .trainer import StageState, Trainer
 
-__all__ = ["StageState", "Trainer"]
+__all__ = ["DistillTrainer", "StageState", "Trainer"]

@@ -1,0 +1,149 @@
+"""DistillTrainer — progressive-distillation phases on top of Trainer.
+
+Usage (per stage): load a trained teacher checkpoint into the trainer,
+then for each halving phase
+
+    trainer.begin_phase(stage, num_student_steps=N)   # snapshot teacher
+    for _ in range(steps):
+        trainer.distill_step(stage)
+    # student now samples well at N steps; next phase halves N again
+
+`begin_phase` snapshots the current (by default EMA) weights as the
+frozen teacher, keeps them as the student's initialisation
+(arXiv:2202.00512 Algorithm 2), and re-initialises the optimizer. The
+teacher pytree rides the jitted step as a plain argument — switching
+phases never retraces except for the new static `num_student_steps`.
+
+Kill/resume: `save`/`load` persist the student state (inherited). A
+phase's teacher is the checkpoint written at phase start — harnesses
+re-derive it on resume by loading that checkpoint and calling
+`begin_phase(..., teacher_params=...)` (tools/distill_demo.py).
+"""
+
+from __future__ import annotations
+
+from typing import Any, Dict, Optional
+
+import jax
+import jax.numpy as jnp
+import optax
+
+from .trainer import StageState, Trainer, _ema_update
+
+
+class DistillTrainer(Trainer):
+    def __init__(self, *args, teacher_cond_scale: float = 1.0, **kwargs):
+        super().__init__(*args, **kwargs)
+        self.teacher_cond_scale = teacher_cond_scale
+        self._teacher_params: Dict[int, Any] = {}
+        self._phase_steps: Dict[int, int] = {}
+        self._distill_fns: Dict[tuple, Any] = {}
+
+    # ------------------------------------------------------------------
+
+    def begin_phase(
+        self,
+        unet_number: int,
+        num_student_steps: int,
+        *,
+        teacher_params: Optional[Any] = None,
+        teacher_from_ema: bool = True,
+    ) -> None:
+        """Freeze the teacher and start a distillation phase targeting a
+        `num_student_steps` sampling grid. The student continues from the
+        teacher's weights; the optimizer restarts fresh."""
+        if num_student_steps < 1:
+            raise ValueError("num_student_steps must be >= 1")
+        st = self.state(unet_number)
+        if teacher_params is None:
+            teacher_params = st.ema_params if teacher_from_ema else st.params
+        # fp32 copy: the teacher is also the student's init, and EMA
+        # buffers must not alias the live params (donation hazard)
+        teacher = jax.tree.map(lambda p: jnp.array(p, jnp.float32, copy=True), teacher_params)
+        self._teacher_params[unet_number] = teacher
+        params = jax.tree.map(lambda p: jnp.array(p, jnp.float32, copy=True), teacher)
+        self._states[unet_number] = self._place_state(
+            StageState(
+                params=params,
+                ema_params=jax.tree.map(lambda p: jnp.array(p, copy=True), params),
+                opt_state=self._optimizer().init(params),
+                step=st.step,
+            )
+        )
+        self._phase_steps[unet_number] = int(num_student_steps)
+
+    def phase_steps(self, unet_number: int) -> Optional[int]:
+        return self._phase_steps.get(unet_number)
+
+    # ------------------------------------------------------------------
+
+    def _build_distill_fn(self, unet_number: int, num_student_steps: int):
+        opt = self._optimizer()
+        cascade = self.cascade
+        chunks = self.grad_accum_chunks
+        ema_decay = self.ema_decay
+        teacher_cond_scale = self.teacher_cond_scale
+
+        def loss_fn(params, teacher, key, batch):
+            return cascade.stage_distill_loss(
+                params,
+                teacher,
+                unet_number,
+                key,
+                batch["images"],
+                num_student_steps=num_student_steps,
+                text_embeds=batch.get("text_embeds"),
+                cond_images=batch.get("cond_images"),
+                teacher_cond_scale=teacher_cond_scale,
+            )
+
+        def step_fn(state: StageState, teacher, key, batch):
+            if chunks > 1:
+                keys = jax.random.split(key, chunks)
+                sub_batches = jax.tree.map(
+                    lambda x: x.reshape((chunks, x.shape[0] // chunks) + x.shape[1:]),
+                    batch,
+                )
+
+                def accum(carry, inp):
+                    g_acc, l_acc = carry
+                    k, sb = inp
+                    l, g = jax.value_and_grad(loss_fn)(state.params, teacher, k, sb)
+                    return (jax.tree.map(jnp.add, g_acc, g), l_acc + l), None
+
+                zero_g = jax.tree.map(jnp.zeros_like, state.params)
+                (g_sum, l_sum), _ = jax.lax.scan(accum, (zero_g, 0.0), (keys, sub_batches))
+                grads = jax.tree.map(lambda g: g / chunks, g_sum)
+                loss = l_sum / chunks
+            else:
+                loss, grads = jax.value_and_grad(loss_fn)(state.params, teacher, key, batch)
+
+            updates, opt_state = opt.update(grads, state.opt_state, state.params)
+            params = optax.apply_updates(state.params, updates)
+            decay = jnp.minimum(
+                ema_decay, (1.0 + state.step.astype(jnp.float32)) / (10.0 + state.step)
+            )
+            ema = _ema_update(state.ema_params, params, decay)
+            return StageState(params, ema, opt_state, state.step + 1), loss
+
+        return jax.jit(step_fn, donate_argnums=(0,))
+
+    def distill_step(self, unet_number: int, batch: Optional[Dict] = None) -> float:
+        if unet_number not in self._teacher_params:
+            raise RuntimeError(
+                f"no distillation phase active for stage {unet_number}; "
+                "call begin_phase(stage, num_student_steps) first"
+            )
+        if batch is None:
+            assert self._train_iter is not None, "no train dataset attached"
+            batch = next(self._train_iter)
+        batch = self._shard(batch)
+        state = self.state(unet_number)
+        key = (unet_number, self._phase_steps[unet_number])
+        if key not in self._distill_fns:
+            self._distill_fns[key] = self._build_distill_fn(*key)
+        new_state, loss = self._distill_fns[key](
+            state, self._teacher_params[unet_number], self._next_key(), batch
+        )
+        self._states[unet_number] = new_state
+        return float(loss)

@@ -1,0 +1,186 @@
+"""Progressive distillation (core/distill.py, train/distill.py).
+
+Pins the defining algebraic property of the distillation target
+(arXiv:2202.00512 Algorithm 2): one student DDIM step whose x0
+prediction equals the computed target lands EXACTLY on the teacher's
+two-step output — plus trainer-level phase mechanics and end-to-end
+sampling of a distilled student through the existing --ddim_steps path.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from kidney_diffusion_tpu.cascade import Cascade
+from kidney_diffusion_tpu.core.distill import (
+    ddim_step,
+    distill_target_x0,
+    progressive_distill_loss,
+    student_time_grid,
+)
+from kidney_diffusion_tpu.core.schedules import GaussianDiffusion
+from kidney_diffusion_tpu.models.configs import tiny_test_cascade
+from kidney_diffusion_tpu.train import DistillTrainer
+
+
+GD = GaussianDiffusion(num_timesteps=8)
+
+
+def _toy_teacher(objective="v"):
+    """Deterministic nonlinear 'model': pred depends on x and t."""
+
+    def fn(x, t):
+        tb = t.reshape((-1,) + (1,) * (x.ndim - 1))
+        return jnp.tanh(0.5 * x + 0.3 * tb) * 0.7
+
+    return fn
+
+
+class TestTargetInversion:
+    def test_one_student_step_reproduces_two_teacher_steps(self):
+        key = jax.random.PRNGKey(0)
+        x_t = jax.random.normal(key, (3, 8, 8, 2))
+        n = 4
+        t = jnp.array([1.0, 0.5, 0.25])
+        t_mid, t_next = t - 0.5 / n, t - 1.0 / n
+        teacher = _toy_teacher()
+
+        x0_tgt, z_next = distill_target_x0(
+            GD, teacher, x_t, t, t_mid, t_next, teacher_objective="v"
+        )
+
+        # a student predicting exactly x0_tgt (x_start objective, no
+        # clipping — the target inversion is clip-free on the student
+        # side) must land on z_next in one step
+        student = lambda x, tt: x0_tgt
+        z_one = ddim_step(
+            GD, student, x_t, t, t_next, objective="x_start", clip_x0=False
+        )
+        np.testing.assert_allclose(np.asarray(z_one), np.asarray(z_next), atol=1e-5)
+
+    def test_target_has_no_gradient_into_teacher_inputs(self):
+        # stop_gradient: distillation loss gradients must not flow
+        # through the target (only through the student prediction)
+        x_start = jnp.ones((2, 4, 4, 1)) * 0.3
+        noise = jnp.zeros_like(x_start)
+
+        def loss_of_student_scale(s):
+            student = lambda x, t: s * jnp.ones_like(x)
+            teacher = _toy_teacher()
+            l = progressive_distill_loss(
+                GD, teacher, student, x_start, jax.random.PRNGKey(1), noise,
+                num_student_steps=4, teacher_objective="v", student_objective="x_start",
+            )
+            return jnp.sum(l)
+
+        g = jax.grad(loss_of_student_scale)(1.0)
+        assert np.isfinite(float(g)) and abs(float(g)) > 0
+
+    def test_time_grid_on_student_lattice(self):
+        t, t_mid, t_next = student_time_grid(jax.random.PRNGKey(2), 256, 8)
+        # every t is i/8 with i in 1..8; t_next = t - 1/8 >= 0
+        lattice = np.arange(1, 9) / 8.0
+        assert np.all(np.isin(np.round(np.asarray(t) * 8) / 8, lattice))
+        np.testing.assert_allclose(np.asarray(t - t_next), 1.0 / 8, atol=1e-6)
+        np.testing.assert_allclose(np.asarray(t - t_mid), 0.5 / 8, atol=1e-6)
+        assert float(jnp.min(t_next)) >= -1e-6
+
+    def test_truncated_snr_weight_matches_closed_form(self):
+        # pointwise max(x0_err^2, snr*x0_err^2) == max(1, snr)*x0_err^2
+        x_start = jax.random.normal(jax.random.PRNGKey(3), (4, 4, 4, 1))
+        noise = jax.random.normal(jax.random.PRNGKey(4), x_start.shape)
+        teacher = _toy_teacher()
+        student = lambda x, t: jnp.zeros_like(x)
+        l = progressive_distill_loss(
+            GD, teacher, student, x_start, jax.random.PRNGKey(5), noise,
+            num_student_steps=2, teacher_objective="v", student_objective="x_start",
+        )
+        t, t_mid, t_next = student_time_grid(jax.random.PRNGKey(5), 4, 2)
+        x_t, _, alpha, sigma = GD.q_sample(x_start, t, noise)
+        x0_tgt, _ = distill_target_x0(
+            GD, teacher, x_t, t, t_mid, t_next, teacher_objective="v"
+        )
+        w = jnp.maximum(1.0, (alpha / sigma) ** 2)
+        ref = jnp.mean(w * (0.0 - x0_tgt) ** 2, axis=(1, 2, 3))
+        np.testing.assert_allclose(np.asarray(l), np.asarray(ref), rtol=1e-5)
+
+
+@pytest.fixture(scope="module")
+def cascade():
+    return Cascade(tiny_test_cascade())
+
+
+def _batch(key, b=4, size=32):
+    return {"images": jax.random.uniform(key, (b, size, size, 3))}
+
+
+class TestDistillTrainer:
+    def test_phase_and_steps(self, cascade):
+        tr = DistillTrainer(cascade, lr=1e-3)
+        batch = _batch(jax.random.PRNGKey(0))
+        # warm the stage with a couple of normal train steps first
+        for _ in range(2):
+            tr.train_step(2, batch)
+        tr.begin_phase(2, 4)
+        assert tr.phase_steps(2) == 4
+        losses = [tr.distill_step(2, batch) for _ in range(4)]
+        assert all(np.isfinite(l) for l in losses)
+        # student initialised FROM the teacher: the first loss of a
+        # self-distillation phase is small (one step vs two teacher
+        # steps of a near-identity map at tiny dims)
+        assert tr.num_steps_taken(2) == 6
+
+    def test_phase_halving_retraces_and_runs(self, cascade):
+        tr = DistillTrainer(cascade, lr=1e-3)
+        batch = _batch(jax.random.PRNGKey(1))
+        tr.begin_phase(2, 8)
+        l8 = tr.distill_step(2, batch)
+        tr.begin_phase(2, 4)
+        l4 = tr.distill_step(2, batch)
+        assert np.isfinite(l8) and np.isfinite(l4)
+        assert tr.phase_steps(2) == 4
+
+    def test_explicit_teacher_params_resume_path(self, cascade):
+        tr = DistillTrainer(cascade, lr=1e-3)
+        st = tr.state(2)
+        frozen = jax.tree.map(lambda p: p * 1.0, st.ema_params)
+        tr.begin_phase(2, 4, teacher_params=frozen)
+        l = tr.distill_step(2, _batch(jax.random.PRNGKey(2)))
+        assert np.isfinite(l)
+
+    def test_distill_step_requires_phase(self, cascade):
+        tr = DistillTrainer(cascade)
+        with pytest.raises(RuntimeError, match="begin_phase"):
+            tr.distill_step(1, _batch(jax.random.PRNGKey(3)))
+
+    def test_grad_accum_chunks(self, cascade):
+        tr = DistillTrainer(cascade, lr=1e-3, grad_accum_chunks=2)
+        tr.begin_phase(1, 4)
+        l = tr.distill_step(1, _batch(jax.random.PRNGKey(4)))
+        assert np.isfinite(l)
+
+    def test_distilled_student_samples_via_ddim_path(self, cascade):
+        tr = DistillTrainer(cascade, lr=1e-3)
+        tr.begin_phase(1, 4)
+        tr.begin_phase(2, 4)
+        batch = _batch(jax.random.PRNGKey(5))
+        for _ in range(2):
+            tr.distill_step(1, batch)
+            tr.distill_step(2, batch)
+        out = tr.sample(batch_size=2, ddim_steps=4)
+        assert out.shape == (2, 32, 32, 3)
+        a = np.asarray(out)
+        assert np.isfinite(a).all() and a.min() >= 0.0 and a.max() <= 1.0
+
+    def test_guidance_distillation_builds_cfg_teacher(self):
+        cc = tiny_test_cascade(condition_on_text=True)
+        c = Cascade(cc)
+        tr = DistillTrainer(c, lr=1e-3, teacher_cond_scale=3.0)
+        tr.begin_phase(1, 4)
+        b = {
+            "images": jax.random.uniform(jax.random.PRNGKey(6), (2, 16, 16, 3)),
+            "text_embeds": jnp.zeros((2, 1, 3)),
+        }
+        l = tr.distill_step(1, b)
+        assert np.isfinite(l)
