@@ -107,14 +107,19 @@ def distill_target_x0(
 
 
 def student_time_grid(
-    key: Array, batch: int, num_student_steps: int
+    key: Array, batch: int, num_student_steps
 ) -> Tuple[Array, Array, Array]:
     """Sample (t, t_mid, t_next) on the student's N-step grid.
 
     t = i/N with i ~ U{1..N}; the teacher runs two half-steps of 1/(2N).
+    `num_student_steps` may be a TRACED int32 scalar — the phase
+    schedule (N, N/2, ...) then reuses ONE compiled step, which matters
+    on the 631M flagship stage where each retrace is a multi-minute
+    remote compile.
     """
-    n = float(num_student_steps)
-    i = jax.random.randint(key, (batch,), 1, num_student_steps + 1).astype(jnp.float32)
+    n_i = jnp.asarray(num_student_steps, jnp.int32)
+    n = n_i.astype(jnp.float32)
+    i = jax.random.randint(key, (batch,), 1, n_i + 1).astype(jnp.float32)
     t = i / n
     return t, t - 0.5 / n, t - 1.0 / n
 

@@ -32,12 +32,24 @@ from .trainer import StageState, Trainer, _ema_update
 
 
 class DistillTrainer(Trainer):
-    def __init__(self, *args, teacher_cond_scale: float = 1.0, **kwargs):
+    def __init__(
+        self,
+        *args,
+        teacher_cond_scale: float = 1.0,
+        teacher_dtype: Optional[str] = None,
+        **kwargs,
+    ):
         super().__init__(*args, **kwargs)
         self.teacher_cond_scale = teacher_cond_scale
+        # "bfloat16" halves the frozen teacher's HBM footprint — the
+        # model casts weights to its compute dtype (bf16) inside apply
+        # anyway, so teacher forwards are numerically unchanged. Matters
+        # on the 631M flagship stage: student state (params+EMA+Adam,
+        # ~10 GB fp32) + an fp32 teacher would crowd a 16 GB chip.
+        self.teacher_dtype = teacher_dtype
         self._teacher_params: Dict[int, Any] = {}
         self._phase_steps: Dict[int, int] = {}
-        self._distill_fns: Dict[tuple, Any] = {}
+        self._distill_fns: Dict[int, Any] = {}  # one compiled step per stage
 
     # ------------------------------------------------------------------
 
@@ -57,11 +69,14 @@ class DistillTrainer(Trainer):
         st = self.state(unet_number)
         if teacher_params is None:
             teacher_params = st.ema_params if teacher_from_ema else st.params
-        # fp32 copy: the teacher is also the student's init, and EMA
+        # fresh copies: the teacher is also the student's init, and EMA
         # buffers must not alias the live params (donation hazard)
-        teacher = jax.tree.map(lambda p: jnp.array(p, jnp.float32, copy=True), teacher_params)
+        params = jax.tree.map(
+            lambda p: jnp.array(p, jnp.float32, copy=True), teacher_params
+        )
+        t_dtype = jnp.dtype(self.teacher_dtype) if self.teacher_dtype else jnp.float32
+        teacher = jax.tree.map(lambda p: jnp.array(p, t_dtype, copy=True), teacher_params)
         self._teacher_params[unet_number] = teacher
-        params = jax.tree.map(lambda p: jnp.array(p, jnp.float32, copy=True), teacher)
         self._states[unet_number] = self._place_state(
             StageState(
                 params=params,
@@ -77,27 +92,29 @@ class DistillTrainer(Trainer):
 
     # ------------------------------------------------------------------
 
-    def _build_distill_fn(self, unet_number: int, num_student_steps: int):
+    def _build_distill_fn(self, unet_number: int):
         opt = self._optimizer()
         cascade = self.cascade
         chunks = self.grad_accum_chunks
         ema_decay = self.ema_decay
         teacher_cond_scale = self.teacher_cond_scale
 
-        def loss_fn(params, teacher, key, batch):
+        def loss_fn(params, teacher, n_steps, key, batch):
             return cascade.stage_distill_loss(
                 params,
                 teacher,
                 unet_number,
                 key,
                 batch["images"],
-                num_student_steps=num_student_steps,
+                num_student_steps=n_steps,
                 text_embeds=batch.get("text_embeds"),
                 cond_images=batch.get("cond_images"),
                 teacher_cond_scale=teacher_cond_scale,
             )
 
-        def step_fn(state: StageState, teacher, key, batch):
+        # n_steps is a TRACED scalar: every halving phase reuses this one
+        # compiled step (a retrace is minutes on the flagship stage)
+        def step_fn(state: StageState, teacher, n_steps, key, batch):
             if chunks > 1:
                 keys = jax.random.split(key, chunks)
                 sub_batches = jax.tree.map(
@@ -108,7 +125,9 @@ class DistillTrainer(Trainer):
                 def accum(carry, inp):
                     g_acc, l_acc = carry
                     k, sb = inp
-                    l, g = jax.value_and_grad(loss_fn)(state.params, teacher, k, sb)
+                    l, g = jax.value_and_grad(loss_fn)(
+                        state.params, teacher, n_steps, k, sb
+                    )
                     return (jax.tree.map(jnp.add, g_acc, g), l_acc + l), None
 
                 zero_g = jax.tree.map(jnp.zeros_like, state.params)
@@ -116,7 +135,9 @@ class DistillTrainer(Trainer):
                 grads = jax.tree.map(lambda g: g / chunks, g_sum)
                 loss = l_sum / chunks
             else:
-                loss, grads = jax.value_and_grad(loss_fn)(state.params, teacher, key, batch)
+                loss, grads = jax.value_and_grad(loss_fn)(
+                    state.params, teacher, n_steps, key, batch
+                )
 
             updates, opt_state = opt.update(grads, state.opt_state, state.params)
             params = optax.apply_updates(state.params, updates)
@@ -139,11 +160,14 @@ class DistillTrainer(Trainer):
             batch = next(self._train_iter)
         batch = self._shard(batch)
         state = self.state(unet_number)
-        key = (unet_number, self._phase_steps[unet_number])
-        if key not in self._distill_fns:
-            self._distill_fns[key] = self._build_distill_fn(*key)
-        new_state, loss = self._distill_fns[key](
-            state, self._teacher_params[unet_number], self._next_key(), batch
+        if unet_number not in self._distill_fns:
+            self._distill_fns[unet_number] = self._build_distill_fn(unet_number)
+        new_state, loss = self._distill_fns[unet_number](
+            state,
+            self._teacher_params[unet_number],
+            jnp.int32(self._phase_steps[unet_number]),
+            self._next_key(),
+            batch,
         )
         self._states[unet_number] = new_state
         return float(loss)

@@ -131,7 +131,7 @@ class TestDistillTrainer:
         # steps of a near-identity map at tiny dims)
         assert tr.num_steps_taken(2) == 6
 
-    def test_phase_halving_retraces_and_runs(self, cascade):
+    def test_phase_halving_reuses_one_compiled_step(self, cascade):
         tr = DistillTrainer(cascade, lr=1e-3)
         batch = _batch(jax.random.PRNGKey(1))
         tr.begin_phase(2, 8)
@@ -140,6 +140,9 @@ class TestDistillTrainer:
         l4 = tr.distill_step(2, batch)
         assert np.isfinite(l8) and np.isfinite(l4)
         assert tr.phase_steps(2) == 4
+        # N rides the jitted step as a traced scalar: both phases share
+        # one executable (a retrace is minutes on the flagship stage)
+        assert len(tr._distill_fns) == 1
 
     def test_explicit_teacher_params_resume_path(self, cascade):
         tr = DistillTrainer(cascade, lr=1e-3)

@@ -127,3 +127,40 @@ def test_sustained_flagship_resume(tmp_path):
     assert starts[-1]["resumed"] and starts[-1]["restored_steps"]["3"] == 4
     steps = [l["step"] for l in lines if l.get("stage") == 3]
     assert 6 in steps and steps.count(5) == 1
+
+
+DISTILL_FLAGSHIP = os.path.join(REPO, "tools", "distill_flagship.py")
+
+
+@pytest.mark.slow
+def test_distill_flagship_smoke(tmp_path):
+    """Flagship progressive-distillation harness at smoke scale: teacher
+    from a short sustained_flagship run, two halving phases, teacher/
+    ablation/student FID sets all recorded in distill.json."""
+    import math
+
+    teach = str(tmp_path / "teach")
+    out = str(tmp_path / "dist")
+    cache = str(tmp_path / "xla-cache")
+
+    r1 = _run_flagship(teach, 2, cache)
+    assert r1.returncode == 0, r1.stderr[-2000:]
+
+    env = dict(os.environ)
+    env["JAX_PLATFORMS"] = "cpu"
+    env["KDT_COMPILE_CACHE"] = cache
+    r = subprocess.run(
+        [sys.executable, DISTILL_FLAGSHIP, "run", "--from", teach, "--out", out,
+         "--phases", "4", "2", "--phase-steps", "2", "--batch", "1",
+         "--pool", "1", "--patches", "2", "--student-steps", "2",
+         "--cpu", "--smoke"],
+        env=env, capture_output=True, text=True, timeout=1800,
+    )
+    assert r.returncode == 0, r.stderr[-3000:]
+    res = json.load(open(os.path.join(out, "distill.json")))
+    for tag in ("teacher_dpmpp25", "teacher_ddim2", "student_ddim2"):
+        assert math.isfinite(res[f"fid_{tag}"]), res
+        assert res[f"sec_per_patch_{tag}"] > 0
+    lines = [json.loads(l) for l in open(os.path.join(out, "distill.jsonl"))]
+    phases = [l["phase"] for l in lines if l.get("event") == "phase_done"]
+    assert phases == [4, 2]
