@@ -82,7 +82,16 @@ class DistillTrainer(Trainer):
                 params=params,
                 ema_params=jax.tree.map(lambda p: jnp.array(p, copy=True), params),
                 opt_state=self._optimizer().init(params),
-                step=st.step,
+                # step restarts per phase: the EMA warmup
+                # (decay = (1+step)/(10+step) capped at ema_decay) must
+                # re-engage, or a phase inheriting a large step count runs
+                # at decay 0.9999 from its first update and a ~500-step
+                # phase leaves the EMA at the phase-START weights — the
+                # next phase then re-distills the ORIGINAL teacher and the
+                # final "student" is the teacher (measured: student-8 FID
+                # == undistilled ddim-8 FID before this fix).
+                # num_steps_taken consequently reports PHASE-local steps.
+                step=jnp.zeros((), jnp.int32),
             )
         )
         self._phase_steps[unet_number] = int(num_student_steps)

@@ -126,10 +126,29 @@ class TestDistillTrainer:
         assert tr.phase_steps(2) == 4
         losses = [tr.distill_step(2, batch) for _ in range(4)]
         assert all(np.isfinite(l) for l in losses)
-        # student initialised FROM the teacher: the first loss of a
-        # self-distillation phase is small (one step vs two teacher
-        # steps of a near-identity map at tiny dims)
-        assert tr.num_steps_taken(2) == 6
+        # step restarts at phase entry (EMA warmup must re-engage —
+        # see begin_phase), so the counter is phase-local
+        assert tr.num_steps_taken(2) == 4
+
+    def test_ema_tracks_student_within_phase(self, cascade):
+        # regression: begin_phase must restart the EMA warmup. With the
+        # inherited step counter the decay sat at 0.9999 and a short
+        # phase's EMA stayed at the phase-start weights — the measured
+        # symptom was distilled-student FID == undistilled-teacher FID.
+        tr = DistillTrainer(cascade, lr=1e-2)
+        batch = _batch(jax.random.PRNGKey(7))
+        for _ in range(3):
+            tr.train_step(2, batch)  # build up a nonzero step count
+        tr.begin_phase(2, 4)
+        assert tr.num_steps_taken(2) == 0
+        start = jax.tree.map(lambda p: np.asarray(p).copy(), tr.state(2).ema_params)
+        for _ in range(8):
+            tr.distill_step(2, batch)
+        deltas = jax.tree.map(
+            lambda a, b: float(np.max(np.abs(np.asarray(a) - b))),
+            tr.state(2).ema_params, start,
+        )
+        assert max(jax.tree.leaves(deltas)) > 1e-5
 
     def test_phase_halving_reuses_one_compiled_step(self, cascade):
         tr = DistillTrainer(cascade, lr=1e-3)

@@ -125,6 +125,14 @@ def _sample_dir(cascade, params, out_dir, ds, n, batch, *, ddim_steps=0, seed=20
     from kidney_diffusion_tpu.utils.logging import save_image
 
     os.makedirs(out_dir, exist_ok=True)
+    # warm the jit cache for this (batch, ddim_steps) config so the
+    # timed loop measures sampling, not compilation
+    warm_b = min(batch, n)
+    warm_cond = np.stack([ds[j][1] for j in range(warm_b)])
+    np.asarray(cascade.sample(
+        params, jax.random.PRNGKey(seed - 1), batch_size=warm_b,
+        cond_images=warm_cond, ddim_steps=ddim_steps,
+    ))
     i, t_total = 0, 0.0
     while i < n:
         b = min(batch, n - i)

@@ -80,6 +80,13 @@ def _sample_set(cascade, ema, reals, out_dir, *, sample_steps=0, ddim_steps=0, s
 
     os.makedirs(out_dir, exist_ok=True)
     stride = 4  # 1024 -> 256 lowres cond (smoke: 64 -> 16)
+    # warm the jit cache so the timed loop measures sampling, not compile
+    np.asarray(cascade.sample_stage(
+        ema, 3, jax.random.PRNGKey(seed - 1), batch_size=1,
+        lowres_image=reals[0][None, ::stride, ::stride],
+        dpmpp_steps=sample_steps, use_ddim=ddim_steps > 0,
+        ddim_steps=ddim_steps,
+    ))
     t_total = 0.0
     for i, img in enumerate(reals):
         t0 = time.time()
