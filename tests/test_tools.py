@@ -158,7 +158,8 @@ def test_distill_flagship_smoke(tmp_path):
     )
     assert r.returncode == 0, r.stderr[-3000:]
     res = json.load(open(os.path.join(out, "distill.json")))
-    for tag in ("teacher_dpmpp25", "teacher_ddim2", "student_ddim2"):
+    for tag in ("teacher_ancestral", "teacher_dpmpp25", "teacher_ddim2",
+                "teacher_dpmpp2", "student_ddim2"):
         assert math.isfinite(res[f"fid_{tag}"]), res
         assert res[f"sec_per_patch_{tag}"] > 0
     lines = [json.loads(l) for l in open(os.path.join(out, "distill.jsonl"))]

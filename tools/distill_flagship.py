@@ -136,10 +136,17 @@ def cmd_run(args):
               "model": "ultra_res(0, v_param) stage 3"}
 
     # ---- teacher sets FIRST (state is replaced by begin_phase) -------
+    # ancestral-256 = the reference's own sampler (the matched-FID
+    # anchor); dpmpp-25 = the shipped fast-serving baseline; ddim-N /
+    # dpmpp-N = the undistilled few-step ablations the student must beat
     ema = trainer.state(3).ema_params
     sets = [("teacher_dpmpp25", dict(sample_steps=25))]
+    if args.ancestral:
+        sets.insert(0, ("teacher_ancestral", dict()))
     for n in args.student_steps:
         sets.append((f"teacher_ddim{n}", dict(ddim_steps=n)))
+        sets.append((f"teacher_dpmpp{n}", dict(sample_steps=n)))
+    all_tags = [t for t, _ in sets]
     for tag, kw in sets:
         sec = _sample_set(
             cascade, ema, reals, os.path.join(args.out, f"fid_gen_{tag}"), **kw
@@ -168,18 +175,20 @@ def cmd_run(args):
                            "t": round(time.time() - t0, 1)})
         _log(log, {"event": "phase_done", "phase": n_steps,
                    "t": round(time.time() - t0, 1)})
+        if n_steps in args.student_steps:
+            # sample this student NOW — the next phase replaces the state
+            ema = trainer.state(3).ema_params
+            tag = f"student_ddim{n_steps}"
+            sec = _sample_set(
+                cascade, ema, reals, os.path.join(args.out, f"fid_gen_{tag}"),
+                ddim_steps=n_steps,
+            )
+            result[f"sec_per_patch_{tag}"] = round(sec, 3)
+            all_tags.append(tag)
+            _log(log, {"event": "sampled", "set": tag,
+                       "sec_per_patch": round(sec, 3)})
     result["distill_wall_s"] = round(time.time() - t0, 1)
-
-    # ---- student sets ------------------------------------------------
     ema = trainer.state(3).ema_params
-    for n in args.student_steps:
-        tag = f"student_ddim{n}"
-        sec = _sample_set(
-            cascade, ema, reals, os.path.join(args.out, f"fid_gen_{tag}"),
-            ddim_steps=n,
-        )
-        result[f"sec_per_patch_{tag}"] = round(sec, 3)
-        _log(log, {"event": "sampled", "set": tag, "sec_per_patch": round(sec, 3)})
 
     if args.save_student:
         from kidney_diffusion_tpu.utils.checkpoint import save_checkpoint
@@ -200,7 +209,7 @@ def cmd_run(args):
         weights = os.path.join(args.out, "inception_synthetic.npz")
         np.savez(weights, **synthetic_state_dict(flax_torch_shapes()))
     feature_fn = default_feature_fn(weights)
-    for tag, _ in sets + [(f"student_ddim{n}", None) for n in args.student_steps]:
+    for tag in all_tags:
         fid = float(calculate_fid_given_paths(
             (real_dir, os.path.join(args.out, f"fid_gen_{tag}")),
             feature_fn=feature_fn,
@@ -227,6 +236,10 @@ def main():
     r.add_argument("--lr", type=float, default=5e-5)
     r.add_argument("--patches", type=int, default=24)
     r.add_argument("--student-steps", type=int, nargs="+", default=[8])
+    r.add_argument("--ancestral", action=argparse.BooleanOptionalAction,
+                   default=True,
+                   help="include the ancestral-256 teacher set (the "
+                        "reference-sampler matched-FID anchor)")
     r.add_argument("--save-student", action="store_true")
     r.add_argument("--inception-weights", default=None)
     r.add_argument("--cpu", action="store_true")
