@@ -195,6 +195,37 @@ class TestDistillTrainer:
         a = np.asarray(out)
         assert np.isfinite(a).all() and a.min() >= 0.0 and a.max() <= 1.0
 
+    def test_data_parallel_distill_parity(self, cascade):
+        """Same correctness property as the train-step dp parity test
+        (tests/test_trainer.py): an 8-device data-parallel distill step
+        on a global batch equals the single-device step — losses and
+        updated params/EMA match to reduction-order tolerance."""
+        from kidney_diffusion_tpu.parallel.mesh import make_mesh
+
+        def run(mesh):
+            tr = DistillTrainer(
+                cascade, mesh=mesh, lr=1e-3, max_grad_norm=1.0, seed=11
+            )
+            tr.begin_phase(2, 8)
+            losses = [
+                tr.distill_step(2, _batch(jax.random.PRNGKey(s), b=8))
+                for s in range(3)
+            ]
+            return tr, losses
+
+        tr1, l1 = run(make_mesh(data=1, model=1, devices=jax.devices()[:1]))
+        tr8, l8 = run(make_mesh(data=8, model=1))
+        np.testing.assert_allclose(l1, l8, atol=1e-5)
+        for a, b in zip(
+            jax.tree.leaves(tr1.state(2).params), jax.tree.leaves(tr8.state(2).params)
+        ):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=3e-5)
+        for a, b in zip(
+            jax.tree.leaves(tr1.state(2).ema_params),
+            jax.tree.leaves(tr8.state(2).ema_params),
+        ):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=3e-5)
+
     def test_guidance_distillation_builds_cfg_teacher(self):
         cc = tiny_test_cascade(condition_on_text=True)
         c = Cascade(cc)
