@@ -66,16 +66,26 @@ class DistillTrainer(Trainer):
         teacher's weights; the optimizer restarts fresh."""
         if num_student_steps < 1:
             raise ValueError("num_student_steps must be >= 1")
-        st = self.state(unet_number)
         if teacher_params is None:
+            st = self.state(unet_number)
             teacher_params = st.ema_params if teacher_from_ema else st.params
+            st = None
+        # Release the outgoing state (and any previous phase's teacher)
+        # BEFORE allocating the phase's new one: on the 631M flagship
+        # stage the old params+EMA+Adam state is ~10 GB and the new
+        # state (+bf16 teacher) another ~11 GB — holding both while
+        # optimizer.init runs OOMs a 16 GB chip. Only the teacher-source
+        # pytree (one params copy) must stay live across the handoff.
+        self._states.pop(unet_number, None)
+        self._teacher_params.pop(unet_number, None)
         # fresh copies: the teacher is also the student's init, and EMA
         # buffers must not alias the live params (donation hazard)
+        t_dtype = jnp.dtype(self.teacher_dtype) if self.teacher_dtype else jnp.float32
+        teacher = jax.tree.map(lambda p: jnp.array(p, t_dtype, copy=True), teacher_params)
         params = jax.tree.map(
             lambda p: jnp.array(p, jnp.float32, copy=True), teacher_params
         )
-        t_dtype = jnp.dtype(self.teacher_dtype) if self.teacher_dtype else jnp.float32
-        teacher = jax.tree.map(lambda p: jnp.array(p, t_dtype, copy=True), teacher_params)
+        teacher_params = None  # drop our handle so the source can free
         self._teacher_params[unet_number] = teacher
         self._states[unet_number] = self._place_state(
             StageState(
@@ -109,12 +119,14 @@ class DistillTrainer(Trainer):
         teacher_cond_scale = self.teacher_cond_scale
 
         def loss_fn(params, teacher, n_steps, key, batch):
+            # harnesses may stage the batch pool in fp16 to halve its
+            # HBM footprint; the loss math stays fp32 regardless
             return cascade.stage_distill_loss(
                 params,
                 teacher,
                 unet_number,
                 key,
-                batch["images"],
+                batch["images"].astype(jnp.float32),
                 num_student_steps=n_steps,
                 text_embeds=batch.get("text_embeds"),
                 cond_images=batch.get("cond_images"),

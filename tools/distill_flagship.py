@@ -72,13 +72,42 @@ def _resolve_ckpt(run_dir):
     return os.path.join(run_dir, snaps[-1][1])
 
 
-def _sample_set(cascade, ema, reals, out_dir, *, sample_steps=0, ddim_steps=0, seed=3000):
-    """Super-resolve each held-out lowres cond; returns sec/patch."""
+def _prior_seconds(log_path):
+    """sec_per_patch per set from a previous run's jsonl (resume)."""
+    out = {}
+    if os.path.exists(log_path):
+        with open(log_path) as f:
+            for line in f:
+                try:
+                    rec = json.loads(line)
+                except ValueError:
+                    continue
+                if rec.get("event") == "sampled":
+                    out[rec["set"]] = rec["sec_per_patch"]
+    return out
+
+
+def _sample_set(cascade, ema, reals, out_dir, *, sample_steps=0, ddim_steps=0,
+                seed=3000, reuse=True):
+    """Super-resolve each held-out lowres cond; returns sec/patch.
+
+    With `reuse` (teacher sets — deterministic from the fixed
+    checkpoint): if `out_dir` already holds one PNG per real (a prior
+    run crashed after this set), the set is kept untouched and None is
+    returned — the caller recovers the timing from the previous jsonl.
+    Student sets pass `reuse=False` (a new training trajectory makes
+    stale samples wrong) and any leftovers are deleted first.
+    """
     import jax
 
     from kidney_diffusion_tpu.utils.logging import save_image
 
     os.makedirs(out_dir, exist_ok=True)
+    stale = [f for f in os.listdir(out_dir) if f.endswith(".png")]
+    if reuse and len(stale) >= len(reals):
+        return None
+    for f in stale:
+        os.remove(os.path.join(out_dir, f))
     stride = 4  # 1024 -> 256 lowres cond (smoke: 64 -> 16)
     # warm the jit cache so the timed loop measures sampling, not compile
     np.asarray(cascade.sample_stage(
@@ -147,12 +176,21 @@ def cmd_run(args):
         sets.append((f"teacher_ddim{n}", dict(ddim_steps=n)))
         sets.append((f"teacher_dpmpp{n}", dict(sample_steps=n)))
     all_tags = [t for t, _ in sets]
+    prior = _prior_seconds(log)
     for tag, kw in sets:
         sec = _sample_set(
             cascade, ema, reals, os.path.join(args.out, f"fid_gen_{tag}"), **kw
         )
+        if sec is None:  # reused from a crashed prior run
+            result[f"sec_per_patch_{tag}"] = prior.get(tag)
+            _log(log, {"event": "reused", "set": tag,
+                       "sec_per_patch": prior.get(tag)})
+            continue
         result[f"sec_per_patch_{tag}"] = round(sec, 3)
         _log(log, {"event": "sampled", "set": tag, "sec_per_patch": round(sec, 3)})
+    ema = None  # drop the teacher-EMA handle: begin_phase must be able
+    # to free the loaded state (631M params x {params,EMA,Adam} + a new
+    # student state cannot coexist on a 16 GB chip)
 
     # ---- distillation phases ----------------------------------------
     # device-staged batch pool (uploading 50 MB/step costs seconds over
@@ -161,7 +199,11 @@ def cmd_run(args):
     pool = []
     for _ in range(args.pool):
         idx = rng.integers(0, 95, args.batch)
-        pool.append({"images": jax.device_put(np.stack([held[int(i)] for i in idx]))})
+        # fp16 on device (the distill step casts back to fp32 in-graph):
+        # halves pool HBM; quantization ~5e-4 on [0,1] images, below the
+        # 8-bit granularity the pipeline already assumes
+        pool.append({"images": jax.device_put(
+            np.stack([held[int(i)] for i in idx]).astype(np.float16))})
     _log(log, {"event": "staged", "pool_batches": len(pool)})
 
     t0 = time.time()
@@ -181,8 +223,9 @@ def cmd_run(args):
             tag = f"student_ddim{n_steps}"
             sec = _sample_set(
                 cascade, ema, reals, os.path.join(args.out, f"fid_gen_{tag}"),
-                ddim_steps=n_steps,
+                ddim_steps=n_steps, reuse=False,
             )
+            ema = None  # release before the next begin_phase
             result[f"sec_per_patch_{tag}"] = round(sec, 3)
             all_tags.append(tag)
             _log(log, {"event": "sampled", "set": tag,
