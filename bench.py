@@ -207,6 +207,15 @@ def main():
     serving["dpmpp25_serving_patches_per_sec"] = 1.0 / serving[
         "dpmpp25_serving_seconds_per_patch"
     ]
+    # distilled serving operating point: stage 3 at 4 DDIM steps via the
+    # progressively-distilled student (matched relative FID vs the
+    # 256-step ancestral anchor on the trained flagship stage —
+    # artifacts/r3_distill_flagship), stages 1/2 at dpmpp-25
+    distilled_seconds = (
+        DPMPP_SERVING_STEPS * (per_step[0] + per_step[1]) + 4 * quant_s3
+    )
+    serving["distilled_s3ddim4_serving_seconds_per_patch"] = distilled_seconds
+    serving["distilled_s3ddim4_serving_patches_per_sec"] = 1.0 / distilled_seconds
 
     details_path = os.path.join(os.path.dirname(__file__), "BENCH_DETAILS.json")
     with open(details_path, "w") as f:
