@@ -130,6 +130,44 @@ def test_load_fresh_trainer_skips_device_init(cascade, tmp_path):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-6)
 
 
+def test_ema_only_save_serves_and_merges(cascade, tmp_path):
+    """`save(ema_only=True)` writes a serving checkpoint (EMA + step,
+    1/4 the bytes) that a fresh trainer restores with partial=True —
+    the distilled-student artifact flow (tools/distill_flagship.py):
+    full teacher checkpoint first, then the ema-only student overrides
+    the stage's EMA while everything else stays the teacher's."""
+    teacher_path = str(tmp_path / "teacher")
+    student_path = str(tmp_path / "student")
+    tr = Trainer(cascade, lr=1e-3)
+    for _ in range(2):
+        tr.train_step(1, _batch())
+    tr.save(teacher_path)
+    for _ in range(3):  # diverge: the "student" continues training
+        tr.train_step(1, _batch())
+    tr.save(student_path, ema_only=True)
+    student_ema = jax.tree.leaves(tr.state(1).ema_params)
+    student_params = jax.tree.leaves(tr.state(1).params)
+
+    tr2 = Trainer(cascade, lr=1e-3)
+    assert tr2.load(teacher_path)
+    teacher_params = [np.asarray(x) for x in jax.tree.leaves(tr2.state(1).params)]
+    assert tr2.load(student_path, partial=True)
+    # EMA is the student's...
+    got_ema = jax.tree.leaves(tr2.state(1).ema_params)
+    for a, b in zip(student_ema, got_ema):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-6)
+    assert tr2.num_steps_taken(1) == 5
+    # ...while raw params stayed the teacher checkpoint's (merge, not wipe)
+    got_params = jax.tree.leaves(tr2.state(1).params)
+    changed = any(
+        not np.allclose(np.asarray(a), np.asarray(b), atol=1e-6)
+        for a, b in zip(student_params, got_params)
+    )
+    assert changed, "params should NOT have been overwritten by the ema-only ckpt"
+    for a, b in zip(teacher_params, got_params):
+        np.testing.assert_allclose(a, np.asarray(b), atol=1e-6)
+
+
 def test_partial_restore(cascade, tmp_path):
     """restore_parts equivalent: shape-mismatched leaves keep init values."""
     import dataclasses

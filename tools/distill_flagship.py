@@ -231,17 +231,13 @@ def cmd_run(args):
             _log(log, {"event": "sampled", "set": tag,
                        "sec_per_patch": round(sec, 3)})
     result["distill_wall_s"] = round(time.time() - t0, 1)
-    ema = trainer.state(3).ema_params
 
     if args.save_student:
-        from kidney_diffusion_tpu.utils.checkpoint import save_checkpoint
-
+        # Trainer-format serving checkpoint: the sampling CLIs restore it
+        # with partial=True, merged after the full teacher checkpoint
+        # (--ckpt_mag2 "teacher,student" overrides stage 3's EMA)
         ts = time.time()
-        save_checkpoint(
-            os.path.join(args.out, "ckpt_student_ema"),
-            {"ema_params": ema},
-            metadata={"phases": args.phases, "from": src},
-        )
+        trainer.save(os.path.join(args.out, "ckpt_student_ema"), ema_only=True)
         _log(log, {"event": "student_saved", "save_s": round(time.time() - ts, 1)})
 
     # ---- FID ---------------------------------------------------------
