@@ -165,3 +165,35 @@ def test_distill_flagship_smoke(tmp_path):
     lines = [json.loads(l) for l in open(os.path.join(out, "distill.jsonl"))]
     phases = [l["phase"] for l in lines if l.get("event") == "phase_done"]
     assert phases == [4, 2]
+
+
+DISTILL_CASCADE = os.path.join(REPO, "tools", "distill_cascade.py")
+
+
+@pytest.mark.slow
+def test_distill_cascade_smoke(tmp_path):
+    """Full-cascade distillation harness at smoke scale: stages 1/2
+    trained + distilled in-process, three cascade-level FID sets
+    (dpmpp anchor, undistilled few-step, student few-step) recorded."""
+    import math
+
+    out = str(tmp_path / "casc")
+    env = dict(os.environ)
+    env["JAX_PLATFORMS"] = "cpu"
+    env["KDT_COMPILE_CACHE"] = str(tmp_path / "xla-cache")
+    r = subprocess.run(
+        [sys.executable, DISTILL_CASCADE, "run", "--out", out,
+         "--smoke", "--cpu", "--patches", "2", "--train-steps", "2",
+         "--phase-steps", "2", "--phases1", "2", "--phases2", "2",
+         "--eval-steps", "2", "2", "2", "--anchor-steps", "3",
+         "--pool", "1", "--batch", "1"],
+        env=env, capture_output=True, text=True, timeout=1800,
+    )
+    assert r.returncode == 0, r.stderr[-3000:]
+    res = json.load(open(os.path.join(out, "cascade_distill.json")))
+    for tag in ("teacher_dpmpp", "teacher_ddim_few", "student_ddim_few"):
+        assert math.isfinite(res[f"fid_{tag}"]), res
+        assert res[f"sec_per_patch_{tag}"] > 0
+    lines = [json.loads(l) for l in open(os.path.join(out, "cascade_distill.jsonl"))]
+    done = [(l["stage"], l["phase"]) for l in lines if l.get("event") == "phase_done"]
+    assert done == [(1, 2), (2, 2)]
