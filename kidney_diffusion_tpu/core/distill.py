@@ -139,11 +139,25 @@ def progressive_distill_loss(
 ) -> Array:
     """Per-example progressive-distillation loss, shape (batch,).
 
-    Loss is the truncated-SNR weighting of arXiv:2202.00512 §4:
-        w(t) = max(1, alpha_t^2 / sigma_t^2)   on the x0-space error,
-    computed here as the pointwise max of the x0-space and eps-space
-    squared errors (identical by eps_err = -(alpha/sigma) * x0_err, and
-    numerically stable for every parameterisation).
+    The error space follows the STUDENT's parameterisation — the loss
+    must be computed on the quantity the network actually outputs, or
+    the parameterisation conversion amplifies it without bound at one
+    end of the grid:
+
+    * v / x_start students: truncated-SNR weighting of arXiv:2202.00512
+      §4, w(t) = max(1, SNR) on the x0-space error (computed as the
+      pointwise max of the x0- and eps-space squared errors; identical
+      by eps_err = -(alpha/sigma) * x0_err). x0_pred is bounded for
+      these parameterisations, so the weight's t->1 limit (1) is fine.
+    * eps ("noise") students: plain eps-space error, algebraically
+      SNR * x0_err^2 — the same weighting the stage was trained under
+      (eps-MSE). Truncated-SNR is DIVERGENT here: at t = 1 the fp32
+      cosine schedule has alpha ~ 4e-8, so the implied
+      x0_pred = (x_t - sigma * eps_pred) / alpha amplifies eps error by
+      ~2e7 and max(1, SNR) keeps weight 1 on it — measured as a phase-8
+      distill "loss" of 5.7e9 (eps error actually ~3e-3) whose clipped
+      gradients were dominated by the t = 1 lattice point in ~65% of
+      batches, starving every other step of the 8-step grid.
     """
     x_start = x_start.astype(jnp.float32)
     t, t_mid, t_next = student_time_grid(key, x_start.shape[0], num_student_steps)
@@ -155,9 +169,15 @@ def progressive_distill_loss(
     )
 
     pred = student_fn(x_t, t).astype(jnp.float32)
-    x0_pred = pred_to_x_start(diffusion, x_t, t, pred, objective=student_objective)
 
-    x0_err2 = (x0_pred - x0_tgt) ** 2
-    snr = (alpha / jnp.clip(sigma, min=1e-8)) ** 2
-    err2 = jnp.maximum(x0_err2, snr * x0_err2)  # = max(1, SNR) * x0_err2
+    if student_objective == "noise":
+        # x0_tgt carries stop_gradient; x_t does not depend on student
+        # params, so gradients flow only through `pred`.
+        eps_tgt = diffusion.predict_noise_from_start(x_t, t, x0_tgt)
+        err2 = (pred - eps_tgt) ** 2
+    else:
+        x0_pred = pred_to_x_start(diffusion, x_t, t, pred, objective=student_objective)
+        x0_err2 = (x0_pred - x0_tgt) ** 2
+        snr = (alpha / jnp.clip(sigma, min=1e-8)) ** 2
+        err2 = jnp.maximum(x0_err2, snr * x0_err2)  # = max(1, SNR) * x0_err2
     return jnp.mean(err2, axis=tuple(range(1, x_start.ndim)))

@@ -105,6 +105,50 @@ class TestTargetInversion:
         ref = jnp.mean(w * (0.0 - x0_tgt) ** 2, axis=(1, 2, 3))
         np.testing.assert_allclose(np.asarray(l), np.asarray(ref), rtol=1e-5)
 
+    def test_noise_student_loss_is_eps_space(self):
+        # an eps-parameterized student is scored on eps-space error
+        # (== SNR * x0_err^2 algebraically — the stage's own training
+        # weighting), NOT truncated-SNR, which diverges at t -> 1
+        x_start = jax.random.normal(jax.random.PRNGKey(3), (4, 4, 4, 1))
+        noise = jax.random.normal(jax.random.PRNGKey(4), x_start.shape)
+        teacher = _toy_teacher()
+        student = lambda x, t: jnp.zeros_like(x)
+        l = progressive_distill_loss(
+            GD, teacher, student, x_start, jax.random.PRNGKey(5), noise,
+            num_student_steps=2, teacher_objective="noise",
+            student_objective="noise",
+        )
+        t, t_mid, t_next = student_time_grid(jax.random.PRNGKey(5), 4, 2)
+        x_t, _, alpha, sigma = GD.q_sample(x_start, t, noise)
+        x0_tgt, _ = distill_target_x0(
+            GD, teacher, x_t, t, t_mid, t_next, teacher_objective="noise"
+        )
+        eps_tgt = GD.predict_noise_from_start(x_t, t, x0_tgt)
+        ref = jnp.mean((0.0 - eps_tgt) ** 2, axis=(1, 2, 3))
+        np.testing.assert_allclose(np.asarray(l), np.asarray(ref), rtol=1e-5)
+
+    def test_noise_student_loss_bounded_at_top_of_grid(self):
+        # regression for the stage-1 phase-8 divergence (cascade distill
+        # harness, 2026-08-19): at t = 1 the fp32 cosine schedule has
+        # alpha ~ 4e-8, so the x0-space error of an eps student is the
+        # eps error amplified ~2e7x — the truncated-SNR loss read 5.7e9
+        # for an eps error of ~3e-3. num_student_steps=1 pins every
+        # sample to t = 1, the worst case.
+        x_start = jax.random.normal(jax.random.PRNGKey(8), (8, 4, 4, 1))
+        noise = jax.random.normal(jax.random.PRNGKey(9), x_start.shape)
+        teacher = _toy_teacher()
+        # a slightly-off student: eps error is O(0.1), so the loss must
+        # come back O(0.01), not O(1e12)
+        student = lambda x, t: _toy_teacher()(x, t) + 0.1
+        l = progressive_distill_loss(
+            GD, teacher, student, x_start, jax.random.PRNGKey(10), noise,
+            num_student_steps=1, teacher_objective="noise",
+            student_objective="noise",
+        )
+        a = np.asarray(l)
+        assert np.isfinite(a).all()
+        assert a.max() < 10.0, a
+
 
 @pytest.fixture(scope="module")
 def cascade():

@@ -220,9 +220,20 @@ def cmd_run(args):
             tr.begin_phase(n, n_steps)
             for i in range(args.phase_steps):
                 loss = tr.distill_step(n, pool[i % len(pool)])
+                if i % 100 == 0:
+                    _log(log, {"stage": n, "phase": n_steps, "step": i + 1,
+                               "loss": round(loss, 6),
+                               "t": round(time.time() - t0, 1)})
             _log(log, {"event": "phase_done", "stage": n, "phase": n_steps,
                        "loss": round(loss, 6), "t": round(time.time() - t0, 1)})
         result[f"distill{n}_wall_s"] = round(time.time() - t0, 1)
+
+        if args.save_students:
+            ts = time.time()
+            tr.save(os.path.join(args.out, f"ckpt_student{n}_ema"),
+                    ema_only=True)
+            _log(log, {"event": "student_saved", "stage": n,
+                       "save_s": round(time.time() - ts, 1)})
 
         params_by_set = {
             "teacher_dpmpp": teacher_n,
@@ -339,6 +350,9 @@ def main():
     r.add_argument("--lr", type=float, default=1e-4)
     r.add_argument("--patches", type=int, default=48)
     r.add_argument("--inception-weights", default=None)
+    r.add_argument("--save-students", action="store_true",
+                   help="write EMA-only serving checkpoints for the "
+                        "distilled stage-1/2 students (ckpt_student{n}_ema)")
     r.add_argument("--cpu", action="store_true")
     r.add_argument("--smoke", action="store_true",
                    help="tiny same-topology config (CPU harness test)")
