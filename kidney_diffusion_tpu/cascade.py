@@ -219,6 +219,14 @@ class Cascade:
 
         cfg = self.config
         st = cfg.stage(unet_number)
+        if st.sampler == "edm":
+            raise NotImplementedError(
+                "progressive distillation targets the log-SNR DDIM grid; "
+                f"stage {unet_number} samples via EDM (churn-Heun on the "
+                "Karras sigma schedule), which needs an EDM-grid "
+                "distillation target — train/serve this stage "
+                "undistilled, or switch it to a ddpm-family sampler"
+            )
         model = self.models[unet_number - 1]
         gd = self.diffusions[unet_number - 1]
         b = images.shape[0]

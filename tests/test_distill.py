@@ -270,6 +270,24 @@ class TestDistillTrainer:
         ):
             np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=3e-5)
 
+    def test_edm_stage_distillation_raises_loudly(self):
+        # stage_distill_loss math lives on the log-SNR DDIM grid; an EDM
+        # stage sampling via churn-Heun would be silently mis-distilled
+        from kidney_diffusion_tpu.models.configs import elucidated
+
+        cc = elucidated(
+            tiny_test_cascade(image_sizes=(16, 32), timesteps=8),
+            num_sample_steps=(6, 6, 6), sigma_max=(80.0, 320.0, 320.0),
+        )
+        tr = DistillTrainer(Cascade(cc), lr=1e-3)
+        tr.begin_phase(1, 4)
+        with pytest.raises(NotImplementedError, match="EDM"):
+            tr.distill_step(
+                1,
+                {"images": jax.random.uniform(
+                    jax.random.PRNGKey(12), (2, 16, 16, 3))},
+            )
+
     def test_guidance_distillation_builds_cfg_teacher(self):
         cc = tiny_test_cascade(condition_on_text=True)
         c = Cascade(cc)
