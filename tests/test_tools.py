@@ -186,12 +186,13 @@ def test_distill_cascade_smoke(tmp_path):
          "--smoke", "--cpu", "--patches", "2", "--train-steps", "2",
          "--phase-steps", "2", "--phases1", "2", "--phases2", "2",
          "--eval-steps", "2", "2", "2", "--anchor-steps", "3",
-         "--pool", "1", "--batch", "1"],
+         "--pool", "1", "--batch", "1", "--serving-mix"],
         env=env, capture_output=True, text=True, timeout=1800,
     )
     assert r.returncode == 0, r.stderr[-3000:]
     res = json.load(open(os.path.join(out, "cascade_distill.json")))
-    for tag in ("teacher_dpmpp", "teacher_ddim_few", "student_ddim_few"):
+    for tag in ("teacher_dpmpp", "teacher_ddim_few", "student_ddim_few",
+                "serving_mix"):
         assert math.isfinite(res[f"fid_{tag}"]), res
         assert res[f"sec_per_patch_{tag}"] > 0
     lines = [json.loads(l) for l in open(os.path.join(out, "cascade_distill.jsonl"))]

@@ -194,7 +194,17 @@ def cmd_run(args):
     # 283M params (8.2 / 4.5 GB of train state) — they do NOT fit
     # together with the eval EMAs on a 16 GB chip. Eval intermediates
     # (48 images at the stage's size) live on the host between stages.
-    tags = ["teacher_dpmpp", "teacher_ddim_few", "student_ddim_few"]
+    tags = ["teacher_dpmpp", "teacher_ddim_few"]
+    if not args.skip_distill:
+        tags.append("student_ddim_few")
+    if args.serving_mix:
+        # the SHIPPED serving point: stages 1/2 at the dpmpp anchor
+        # steps (they are ~3% of cascade compute — distilling them buys
+        # almost nothing, measured), stage 3 on the distilled ddim
+        # student. Stages 1/2 reuse the teacher_dpmpp intermediates
+        # (paired RNG makes them identical), so the set costs one extra
+        # stage-3 pass + FID only.
+        tags.append("serving_mix")
     inter = {t: None for t in tags}
     walls = {t: 0.0 for t in tags}
     key = jax.random.PRNGKey(7000)
@@ -215,37 +225,43 @@ def cmd_run(args):
             lambda p: jax.numpy.asarray(p, jax.numpy.bfloat16),
             tr.state(n).ema_params,
         )
-        t0 = time.time()
-        for n_steps in phases:
-            tr.begin_phase(n, n_steps)
-            for i in range(args.phase_steps):
-                loss = tr.distill_step(n, pool[i % len(pool)])
-                if i % 100 == 0:
-                    _log(log, {"stage": n, "phase": n_steps, "step": i + 1,
-                               "loss": round(loss, 6),
-                               "t": round(time.time() - t0, 1)})
-            _log(log, {"event": "phase_done", "stage": n, "phase": n_steps,
-                       "loss": round(loss, 6), "t": round(time.time() - t0, 1)})
-        result[f"distill{n}_wall_s"] = round(time.time() - t0, 1)
-
-        if args.save_students:
-            ts = time.time()
-            tr.save(os.path.join(args.out, f"ckpt_student{n}_ema"),
-                    ema_only=True)
-            _log(log, {"event": "student_saved", "stage": n,
-                       "save_s": round(time.time() - ts, 1)})
-
         params_by_set = {
             "teacher_dpmpp": teacher_n,
             "teacher_ddim_few": teacher_n,
-            "student_ddim_few": tr.state(n).ema_params,
         }
+        if not args.skip_distill:
+            t0 = time.time()
+            for n_steps in phases:
+                tr.begin_phase(n, n_steps)
+                for i in range(args.phase_steps):
+                    loss = tr.distill_step(n, pool[i % len(pool)])
+                    if i % 100 == 0:
+                        _log(log, {"stage": n, "phase": n_steps,
+                                   "step": i + 1, "loss": round(loss, 6),
+                                   "t": round(time.time() - t0, 1)})
+                _log(log, {"event": "phase_done", "stage": n,
+                           "phase": n_steps, "loss": round(loss, 6),
+                           "t": round(time.time() - t0, 1)})
+            result[f"distill{n}_wall_s"] = round(time.time() - t0, 1)
+
+            if args.save_students:
+                ts = time.time()
+                tr.save(os.path.join(args.out, f"ckpt_student{n}_ema"),
+                        ema_only=True)
+                _log(log, {"event": "student_saved", "stage": n,
+                           "save_s": round(time.time() - ts, 1)})
+            params_by_set["student_ddim_few"] = tr.state(n).ema_params
+
         inter, w = _sample_stage_sets(
             serving, n, params_by_set, inter, args.patches,
             eval_steps=args.eval_steps, anchor=anchor, key=key, log=log,
         )
-        for t in tags:
-            walls[t] += w[t]
+        for t, wt in w.items():
+            walls[t] += wt
+        if args.serving_mix:
+            # identical params + paired RNG ⇒ identical intermediates
+            inter["serving_mix"] = inter["teacher_dpmpp"]
+            walls["serving_mix"] += w["teacher_dpmpp"]
         del teacher_n, params_by_set
         tr.drop_state(n)
         tr._teacher_params.pop(n, None)
@@ -282,18 +298,26 @@ def cmd_run(args):
     for t in ("teacher_dpmpp", "teacher_ddim_few"):
         walls[t] += w[t]
 
-    if not args.smoke:
-        # replace the stage-3 EMA with the distilled student (EMA-only
-        # serving checkpoint; partial restore merges over the live state)
-        del teacher3
-        assert tr3.load(args.student3, partial=True)
-        _log(log, {"event": "student3_loaded", "from": args.student3})
-        student3 = tr3.state(3).ema_params
-    inter, w = _sample_stage_sets(
-        serving, 3, {"student_ddim_few": student3}, inter, args.patches,
-        eval_steps=args.eval_steps, anchor=anchor, key=key, log=log,
-    )
-    walls["student_ddim_few"] += w["student_ddim_few"]
+    # every remaining set runs stage 3 on the distilled student at
+    # eval_steps[2] DDIM steps (serving_mix differs only in its
+    # stage-1/2 lineage — the dpmpp anchor intermediates)
+    student_tags = [t for t in tags if t in ("student_ddim_few", "serving_mix")]
+    if student_tags:
+        if not args.smoke:
+            # replace the stage-3 EMA with the distilled student
+            # (EMA-only serving checkpoint; partial restore merges over
+            # the live state)
+            del teacher3
+            assert tr3.load(args.student3, partial=True)
+            _log(log, {"event": "student3_loaded", "from": args.student3})
+            student3 = tr3.state(3).ema_params
+        inter, w = _sample_stage_sets(
+            serving, 3, {t: student3 for t in student_tags}, inter,
+            args.patches,
+            eval_steps=args.eval_steps, anchor=anchor, key=key, log=log,
+        )
+        for t in student_tags:
+            walls[t] += w[t]
 
     sets = []
     for tag in tags:
@@ -353,6 +377,13 @@ def main():
     r.add_argument("--save-students", action="store_true",
                    help="write EMA-only serving checkpoints for the "
                         "distilled stage-1/2 students (ckpt_student{n}_ema)")
+    r.add_argument("--serving-mix", action="store_true",
+                   help="add the shipped serving point as a set: stages "
+                        "1/2 at the dpmpp anchor steps, stage 3 on the "
+                        "distilled student at eval_steps[2] DDIM steps")
+    r.add_argument("--skip-distill", action="store_true",
+                   help="teacher-only eval: skip stage-1/2 distillation "
+                        "phases and the student_ddim_few set")
     r.add_argument("--cpu", action="store_true")
     r.add_argument("--smoke", action="store_true",
                    help="tiny same-topology config (CPU harness test)")
