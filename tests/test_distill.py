@@ -270,6 +270,59 @@ class TestDistillTrainer:
         ):
             np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=3e-5)
 
+    def test_phase_scale_override_matches_unguided_trainer(self):
+        """begin_phase(teacher_cond_scale=1.0) on a guided trainer must
+        reproduce an unguided trainer exactly — guidance folds into the
+        student in ONE phase (arXiv:2210.03142); later phases re-applying
+        the scale compound it geometrically (measured: FID 103.7 vs the
+        guided anchor's 0.52 on the guided toy)."""
+        cc = tiny_test_cascade(condition_on_text=True)
+        b = {
+            "images": jax.random.uniform(jax.random.PRNGKey(20), (2, 16, 16, 3)),
+            "text_embeds": jnp.eye(2, 3)[:, None, :],
+        }
+
+        def one_step(scale, override):
+            tr = DistillTrainer(
+                Cascade(cc), lr=1e-2, seed=5, teacher_cond_scale=scale
+            )
+            # a couple of real train steps: at FRESH init the cross-attn
+            # output projection is zero-initialised, cond == uncond
+            # exactly, and guidance is a no-op — the comparison below
+            # would be vacuous
+            for _ in range(3):
+                tr.train_step(1, b)
+            tr.begin_phase(1, 4, teacher_cond_scale=override)
+            return tr.distill_step(1, b)
+
+        l_guided_trainer_overridden = one_step(3.0, 1.0)
+        l_unguided_trainer = one_step(1.0, None)
+        l_guided = one_step(3.0, None)
+        assert l_guided_trainer_overridden == pytest.approx(
+            l_unguided_trainer, abs=1e-6
+        )
+        # and the guided teacher is genuinely different math
+        assert abs(l_guided - l_unguided_trainer) > 1e-7
+
+    def test_scale_switch_invalidates_compiled_step(self):
+        cc = tiny_test_cascade(condition_on_text=True)
+        tr = DistillTrainer(Cascade(cc), lr=1e-3, teacher_cond_scale=3.0)
+        b = {
+            "images": jax.random.uniform(jax.random.PRNGKey(21), (2, 16, 16, 3)),
+            "text_embeds": jnp.eye(2, 3)[:, None, :],
+        }
+        tr.begin_phase(1, 4)
+        tr.distill_step(1, b)
+        fn_guided = tr._distill_fns[1]
+        tr.begin_phase(1, 2, teacher_cond_scale=1.0)
+        tr.distill_step(1, b)
+        assert tr._distill_fns[1] is not fn_guided
+        # same scale again: the compiled step is reused
+        fn_unguided = tr._distill_fns[1]
+        tr.begin_phase(1, 1, teacher_cond_scale=1.0)
+        tr.distill_step(1, b)
+        assert tr._distill_fns[1] is fn_unguided
+
     def test_edm_stage_distillation_raises_loudly(self):
         # stage_distill_loss math lives on the log-SNR DDIM grid; an EDM
         # stage sampling via churn-Heun would be silently mis-distilled

@@ -167,6 +167,36 @@ def test_distill_flagship_smoke(tmp_path):
     assert phases == [4, 2]
 
 
+DISTILL_GUIDED = os.path.join(REPO, "tools", "distill_guided.py")
+
+
+@pytest.mark.slow
+def test_distill_guided_smoke(tmp_path):
+    """Guidance-distillation harness at smoke scale: text-conditioned
+    toy teacher, CFG folded into the unguided student, four FID sets +
+    class-fidelity probes recorded."""
+    import math
+
+    out = str(tmp_path / "guided")
+    env = dict(os.environ)
+    env["JAX_PLATFORMS"] = "cpu"
+    env["KDT_COMPILE_CACHE"] = str(tmp_path / "xla-cache")
+    r = subprocess.run(
+        [sys.executable, DISTILL_GUIDED, "run", "--out", out,
+         "--smoke", "--cpu", "--patches", "2", "--train-steps", "2",
+         "--phase-steps", "2", "--phases", "4", "2", "--student-steps", "2",
+         "--anchor-steps", "3", "--pool", "1", "--batch", "2"],
+        env=env, capture_output=True, text=True, timeout=1800,
+    )
+    assert r.returncode == 0, r.stderr[-3000:]
+    res = json.load(open(os.path.join(out, "guided_distill.json")))
+    for tag in ("teacher_guided_dpmpp", "teacher_unguided_dpmpp",
+                "teacher_guided_ddim_few", "student_unguided_ddim_few"):
+        assert math.isfinite(res[f"fid_{tag}"]), res
+        assert 0.0 <= res[f"class_acc_{tag}"] <= 1.0
+        assert res[f"sec_per_img_{tag}"] > 0
+
+
 DISTILL_CASCADE = os.path.join(REPO, "tools", "distill_cascade.py")
 
 
