@@ -55,6 +55,21 @@ def resize_image_to(x: Array, size: int, method: str = "nearest") -> Array:
     return jax.image.resize(x, (b, size, size, c), method=method)
 
 
+def stage_sampler_steps(val, unet_number: int) -> int:
+    """Resolve a per-stage sampler step count.
+
+    `ddim_steps` / `dpmpp_steps` accept either an int (applies to every
+    stage) or a sequence indexed by stage number, clamped to its last
+    entry. Lets one cascade call express MIXED serving points — e.g. the
+    validated shipped configuration `dpmpp_steps=(25, 25, 0),
+    ddim_steps=(0, 0, 4)`: anchor-quality dpmpp on the cheap base/SR
+    stages, the distilled ddim-4 student on the 1024² stage
+    (artifacts/r3_cascade_distill/serving_mix: FID 1.805 vs 1.925)."""
+    if isinstance(val, (tuple, list)):
+        return int(val[min(unet_number - 1, len(val) - 1)])
+    return int(val)
+
+
 def _random_crop_pair(key: Array, crop: int, *imgs: Array) -> tuple:
     """Per-example random crop applied identically to every input."""
     b, h, w, _ = imgs[0].shape
@@ -561,12 +576,16 @@ class Cascade:
         `ddim_steps > 0` switches non-inpainting stages to the DDIM fast
         path with that many steps (serving accelerator; not in the
         reference's surface); `ddim_eta > 0` makes DDIM stochastic
-        (Song et al. 2020 eq. 16)."""
+        (Song et al. 2020 eq. 16). Both step counts may be per-stage
+        sequences (see `stage_sampler_steps`); per stage, dpmpp takes
+        precedence over ddim when both are > 0."""
         stop = stop_at_unet_number or self.config.num_stages
         img = start_image
         for n in range(start_at_unet_number, stop + 1):
             key, sk = jax.random.split(key)
             st = self.config.stage(n)
+            ds = stage_sampler_steps(ddim_steps, n)
+            ps = stage_sampler_steps(dpmpp_steps, n)
             stage_inpaint_images = None
             stage_inpaint_masks = None
             if inpaint_images is not None:
@@ -587,10 +606,10 @@ class Cascade:
                 inpaint_masks=stage_inpaint_masks,
                 inpaint_resample_times=inpaint_resample_times,
                 cond_scale=cond_scale,
-                use_ddim=ddim_steps > 0,
-                ddim_steps=ddim_steps,
+                use_ddim=ds > 0,
+                ddim_steps=ds,
                 ddim_eta=ddim_eta,
-                dpmpp_steps=dpmpp_steps,
+                dpmpp_steps=ps,
             )
         return img
 
@@ -623,6 +642,8 @@ class Cascade:
         current = None  # host store between stages (numpy, compact)
         for n in range(1, stop + 1):
             bsz = stage_batch_sizes[n - 1]
+            ds = stage_sampler_steps(ddim_steps, n)
+            ps = stage_sampler_steps(dpmpp_steps, n)
             outs = []
             def pad(x, b):
                 if x.shape[0] == b:
@@ -650,10 +671,10 @@ class Cascade:
                     params_per_stage[n - 1], n, sk,
                     batch_size=bsz,  # last chunk padded: one compile per stage
                     cond_scale=cond_scale,
-                    use_ddim=ddim_steps > 0,
-                    ddim_steps=ddim_steps,
+                    use_ddim=ds > 0,
+                    ddim_steps=ds,
                     ddim_eta=ddim_eta,
-                    dpmpp_steps=dpmpp_steps,
+                    dpmpp_steps=ps,
                     **kwargs,
                 )
                 outs.append(np.asarray(out, np.float16)[:b])

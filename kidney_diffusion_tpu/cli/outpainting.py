@@ -30,10 +30,10 @@ def parse_args():
     p.add_argument("--sample_dir", type=str, default="samples")
     p.add_argument("--max_wave_batch", type=int, default=32)
     p.add_argument("--seed", type=int, default=None)
-    p.add_argument("--ddim_steps", type=int, default=0,
-                   help="DDIM fast sampling with N steps")
-    p.add_argument("--dpmpp_steps", type=int, default=0,
-                   help="DPM-Solver++(2M) fast sampling with N steps")
+    p.add_argument("--ddim_steps", type=int, nargs="+", default=0,
+                   help="DDIM fast-path steps; one value for all stages or one per stage (0 disables — e.g. the validated serving mix: --dpmpp_steps 25 25 0 --ddim_steps 0 0 4)")
+    p.add_argument("--dpmpp_steps", type=int, nargs="+", default=0,
+                   help="DPM-Solver++(2M) steps; one value for all stages or one per stage (0 disables; beats --ddim_steps per stage)")
     p.add_argument("--quant", type=str, default="int8",
                    choices=("int8", "none"),
                    help="w8a8 int8 serving mode for the >=512 stages — ON "

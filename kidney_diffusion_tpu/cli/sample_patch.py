@@ -61,10 +61,10 @@ def parse_args():
     p.add_argument("--stop_at_unet_number", type=int, default=None)
     p.add_argument("--ddim_eta", type=float, default=0.0,
                    help="DDIM stochasticity (0 = deterministic)")
-    p.add_argument("--dpmpp_steps", type=int, default=0,
-                   help="DPM-Solver++(2M) fast sampling with N steps (overrides --ddim_steps)")
-    p.add_argument("--ddim_steps", type=int, default=0,
-                   help="use the DDIM fast path with this many steps")
+    p.add_argument("--dpmpp_steps", type=int, nargs="+", default=0,
+                   help="DPM-Solver++(2M) steps; one value for all stages or one per stage (0 disables; beats --ddim_steps per stage)")
+    p.add_argument("--ddim_steps", type=int, nargs="+", default=0,
+                   help="DDIM fast-path steps; one value for all stages or one per stage (0 disables — e.g. the validated serving mix: --dpmpp_steps 25 25 0 --ddim_steps 0 0 4)")
     p.add_argument("--quant", type=str, default=None, choices=("int8",),
                    help="w8a8 int8 serving mode for the >=512 stages "
                         "(same checkpoints, faster stage 3 — PERF.md)")

@@ -45,11 +45,10 @@ def parse_args():
     p.add_argument("--max_wave_batch", type=int, default=32)
     p.add_argument("--seed", type=int, default=None)
     p.add_argument("--stop_at_mag", type=int, default=2)
-    p.add_argument("--dpmpp_steps", type=int, default=0,
-                   help="DPM-Solver++(2M) fast sampling with N steps (overrides --ddim_steps)")
-    p.add_argument("--ddim_steps", type=int, default=0,
-                   help="DDIM fast path with this many steps per stage "
-                        "(~4x faster gigapixel at 64 vs 256)")
+    p.add_argument("--dpmpp_steps", type=int, nargs="+", default=0,
+                   help="DPM-Solver++(2M) steps; one value for all stages or one per stage (0 disables; beats --ddim_steps per stage)")
+    p.add_argument("--ddim_steps", type=int, nargs="+", default=0,
+                   help="DDIM fast-path steps; one value for all stages or one per stage (0 disables — e.g. the validated serving mix: --dpmpp_steps 25 25 0 --ddim_steps 0 0 4)")
     p.add_argument("--num_devices", type=int, default=None,
                    help="shard wave batches over this many devices "
                         "(default: all local devices)")

@@ -29,7 +29,7 @@ from typing import Dict, List, Optional, Sequence, Tuple
 import jax
 import numpy as np
 
-from ..cascade import Cascade
+from ..cascade import Cascade, stage_sampler_steps
 from ..data.wsi import MAG_LEVEL_SIZES, PATCH_SIZE, inner_patch_width, resize_nearest
 from ..ops.image import foreground_mask_for_patches
 from .wavefront import Pos, bucket_size, choose_orientation, full_grid, plan_waves
@@ -384,11 +384,16 @@ def generate_patch_set(
                         for k, v in kwargs.items()
                     }
 
-                if dpmpp_steps > 0:
-                    kwargs["dpmpp_steps"] = dpmpp_steps
-                elif ddim_steps > 0:
+                # per-stage step counts (int or sequence — expresses
+                # mixed serving points like dpmpp-25/25 + distilled
+                # ddim-4 on the 1024² stage); dpmpp wins per stage
+                ps = stage_sampler_steps(dpmpp_steps, stage)
+                ds = stage_sampler_steps(ddim_steps, stage)
+                if ps > 0:
+                    kwargs["dpmpp_steps"] = ps
+                elif ds > 0:
                     kwargs["use_ddim"] = True
-                    kwargs["ddim_steps"] = ddim_steps
+                    kwargs["ddim_steps"] = ds
                 key, sk = jax.random.split(key)
                 out = cascade.sample_stage(
                     params_per_stage[stage - 1], stage, sk, batch_size=bsz, **kwargs

@@ -226,3 +226,39 @@ def test_sampler_precedence():
     # and differs from the ddim-only run
     d = c.sample_stage(params, 1, key, batch_size=1, use_ddim=True, ddim_steps=50)
     assert np.abs(np.asarray(a) - np.asarray(d)).max() > 0
+
+
+def test_per_stage_sampler_steps_mixed_serving_point(cascade, stage_params):
+    """ddim_steps / dpmpp_steps accept per-stage sequences — the
+    validated shipped serving point (dpmpp on cheap stages, distilled
+    ddim on the big stage) is expressible in ONE cascade call and must
+    equal the manual per-stage composition."""
+    from kidney_diffusion_tpu.cascade import stage_sampler_steps
+
+    # helper semantics: scalar broadcast, per-stage indexing, clamping
+    assert stage_sampler_steps(5, 1) == 5 and stage_sampler_steps(5, 3) == 5
+    assert stage_sampler_steps((25, 0), 1) == 25
+    assert stage_sampler_steps((25, 0), 2) == 0
+    assert stage_sampler_steps([25], 3) == 25  # clamped to last entry
+
+    images, text, cond = _batch()
+    key = jax.random.PRNGKey(11)
+    mixed = cascade.sample(
+        stage_params, key, batch_size=2,
+        text_embeds=text, cond_images=cond,
+        dpmpp_steps=(4, 0), ddim_steps=(0, 3),
+    )
+
+    # manual composition with the same key schedule as Cascade.sample
+    k = key
+    k, s1 = jax.random.split(k)
+    x1 = cascade.sample_stage(
+        stage_params[0], 1, s1, batch_size=2,
+        text_embeds=text, cond_images=cond, dpmpp_steps=4,
+    )
+    k, s2 = jax.random.split(k)
+    x2 = cascade.sample_stage(
+        stage_params[1], 2, s2, batch_size=2, lowres_image=x1,
+        text_embeds=text, cond_images=cond, use_ddim=True, ddim_steps=3,
+    )
+    np.testing.assert_allclose(np.asarray(mixed), np.asarray(x2), atol=1e-5)
