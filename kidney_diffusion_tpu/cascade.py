@@ -337,10 +337,19 @@ class Cascade:
         ddim_eta: float = 0.0,
         dpmpp_steps: int = 0,
         spatial_shard=None,
+        output_dtype: Optional[str] = None,
     ) -> Array:
         """Jit-cached stage sampling (one compiled program per
         (stage, batch, conditioning-signature); retraces only on new
         shapes). The gigapixel orchestrator calls this once per wave.
+
+        Image inputs (`lowres_image`, `cond_images`, `inpaint_images`)
+        may arrive as uint8 [0, 255] or any float dtype — integer inputs
+        are decoded to [0, 1] fp32 on device (compact wire transport:
+        the gigapixel orchestrator's conditioning comes from uint8
+        canvases, so uint8 upload is lossless and 4x smaller).
+        `output_dtype="uint8"` returns round(x*255) on device (pulls 4x
+        fewer bytes than fp32 over the host link).
 
         `spatial_shard`: a NamedSharding from parallel.mesh.spatial_sharding —
         constrains the denoised image's H axis across the mesh so ONE
@@ -356,6 +365,7 @@ class Cascade:
             float(ddim_eta),
             dpmpp_steps,
             spatial_shard,
+            output_dtype,
         )
         if not hasattr(self, "_stage_jit_cache"):
             self._stage_jit_cache = {}
@@ -380,6 +390,7 @@ class Cascade:
                     ddim_eta=ddim_eta,
                     dpmpp_steps=dpmpp_steps,
                     spatial_shard=spatial_shard,
+                    output_dtype=output_dtype,
                 )
 
             self._stage_jit_cache[static_key] = jax.jit(fn)
@@ -424,9 +435,26 @@ class Cascade:
         ddim_eta: float = 0.0,
         dpmpp_steps: int = 0,
         spatial_shard=None,
+        output_dtype: Optional[str] = None,
     ) -> Array:
         """Sample one stage. `lowres_image` is the previous stage's [0,1]
-        output at any size. Returns [0,1] images at this stage's size."""
+        output at any size. Returns [0,1] images at this stage's size
+        (or `output_dtype` — uint8 means [0, 255])."""
+
+        def _img_from_wire(v):
+            # uint8 [0,255] -> fp32 [0,1]; narrow floats -> fp32
+            if v is None:
+                return None
+            if jnp.issubdtype(v.dtype, jnp.integer):
+                return v.astype(jnp.float32) / 255.0
+            return v.astype(jnp.float32)
+
+        lowres_image = _img_from_wire(lowres_image)
+        cond_images = _img_from_wire(cond_images)
+        inpaint_images = _img_from_wire(inpaint_images)
+        if inpaint_masks is not None:
+            inpaint_masks = inpaint_masks.astype(jnp.float32)
+
         cfg = self.config
         st = cfg.stage(unet_number)
         model = self.models[unet_number - 1]
@@ -547,7 +575,12 @@ class Cascade:
                 inpaint_masks=inpaint_masks,
                 inpaint_resample_times=inpaint_resample_times,
             )
-        return unnormalize_img(out)
+        out = unnormalize_img(out)
+        if output_dtype == "uint8":
+            return jnp.round(jnp.clip(out, 0.0, 1.0) * 255.0).astype(jnp.uint8)
+        if output_dtype is not None:
+            return out.astype(output_dtype)
+        return out
 
     def sample(
         self,

@@ -49,6 +49,11 @@ def parse_args():
                    help="DPM-Solver++(2M) steps; one value for all stages or one per stage (0 disables; beats --ddim_steps per stage)")
     p.add_argument("--ddim_steps", type=int, nargs="+", default=0,
                    help="DDIM fast-path steps; one value for all stages or one per stage (0 disables — e.g. the validated serving mix: --dpmpp_steps 25 25 0 --ddim_steps 0 0 4)")
+    p.add_argument("--all_patches", action="store_true",
+                   help="disable the mag-2 tissue filter and generate "
+                        "the full patch grid (for non-histology content "
+                        "or fresh-params runs where the HSV foreground "
+                        "mask would drop everything)")
     p.add_argument("--num_devices", type=int, default=None,
                    help="shard wave batches over this many devices "
                         "(default: all local devices)")
@@ -161,6 +166,7 @@ def main():
         mesh=mesh,
         ddim_steps=args.ddim_steps,
         dpmpp_steps=args.dpmpp_steps,
+        all_patches=args.all_patches,
     )
     save_image(mag2, f"{args.sample_dir}/MAG2-{sample_id}{postfix}.jpg")
     print(f"MAG2 saved ({mag2.shape})", flush=True)

@@ -60,6 +60,26 @@ def resize_bilinear(img: np.ndarray, out_h: int, out_w: int) -> np.ndarray:
     return top * (1 - wy) + bot * wy
 
 
+def resize_nearest_batch(batch: np.ndarray, size: int) -> np.ndarray:
+    """Nearest resize of (N, H, W, C) with jax.image.resize semantics
+    (output pixel i reads input floor((i + 0.5) * in / out)) — host-side
+    pre-resize of conditioning images before upload must be bit-identical
+    to the in-model resize it replaces (models/unet.py cond_images)."""
+    h, w = batch.shape[1:3]
+    if h == size and w == size:
+        return batch
+    ys = np.clip(((np.arange(size) + 0.5) * h / size).astype(np.int64), 0, h - 1)
+    xs = np.clip(((np.arange(size) + 0.5) * w / size).astype(np.int64), 0, w - 1)
+    return batch[:, ys][:, :, xs]
+
+
+def to_wire_uint8(img: np.ndarray) -> np.ndarray:
+    """[0,1] float -> uint8 [0,255] for host->device transport (decoded
+    on device by Cascade.sample_stage). Conditioning images come from
+    uint8 canvases, so this round-trip is exact for them."""
+    return np.clip(np.round(img * 255.0), 0, 255).astype(np.uint8)
+
+
 def crop_with_fill(
     img: np.ndarray, y0: int, x0: int, size: int, fill: float
 ) -> np.ndarray:
@@ -137,11 +157,16 @@ def get_cond_images(
     center_cond: bool = False,  # the "v2" 6-channel variant
     airs: bool = False,
     fill: float = 0.95,
+    all_patches: bool = False,
 ) -> Tuple[np.ndarray, List[Pos], GridSpec]:
     """Per-patch recentered conditioning images.
 
     zoomed_image: (H, W, 3) float [0,1] — the stitched mag-(k-1) output.
     Returns (cond_images (N, patch_size, patch_size, C), patch_pos, grid).
+
+    `all_patches` skips the mag-2 tissue filter and generates the full
+    grid — needed when the coarse image carries no real tissue signal
+    (fresh-params demos, wall-clock benchmarks, non-histology content).
     """
     if airs:
         fill = 0.0
@@ -150,7 +175,7 @@ def get_cond_images(
         w, mag_level, overlap, mag_sizes=mag_sizes, patch_size=patch_size, airs=airs
     )
 
-    if mag_level == 2:
+    if mag_level == 2 and not all_patches:
         patch_pos = tissue_patch_filter(zoomed_image, grid, airs=airs)
     else:
         patch_pos = full_grid(grid.num_patches_width)
@@ -290,6 +315,7 @@ def generate_patch_set(
     debug_dir: Optional[str] = None,
     ddim_steps: int = 0,
     dpmpp_steps: int = 0,
+    wire: Optional[str] = "uint8",
 ) -> Dict[Pos, np.ndarray]:
     """Generate all patches of one magnification level through the full
     cascade, wave by wave, batched.
@@ -300,6 +326,16 @@ def generate_patch_set(
     `debug_dir`: dump every intermediate artifact (cond image, inpaint
     strip/mask, per-stage patches) as PNGs — the reference's demo mode
     (sample_ultra_res_demo.py:169-198).
+
+    `wire="uint8"` (default) moves images over the host<->device link as
+    uint8: cond images are pre-resized to the stage input size (bit-equal
+    to the in-model nearest resize) and encoded [0,255]; inpaint strips
+    and masks likewise; stage outputs come back uint8. This is exact for
+    cond images (they come from uint8 canvases) and quantizes strips /
+    inter-stage lowres to 1/255 — far below the lowres aug-noise the
+    models are conditioned with — while cutting per-patch transfer bytes
+    ~5x (the final canvas is uint8 anyway). `wire=None` restores fp32
+    transport.
 
     Returns pos -> final-stage patch (stage_size², float16 [0,1]).
     """
@@ -358,22 +394,32 @@ def generate_patch_set(
                 if bsz % data_size:
                     bsz = ((bsz + data_size - 1) // data_size) * data_size
 
+                wire_u8 = wire == "uint8"
                 kwargs = {}
                 if cond_by_pos is not None:
-                    kwargs["cond_images"] = _pad_to(
-                        np.stack([cond_by_pos[p] for p in chunk]).astype(np.float32), bsz
+                    conds = np.stack([cond_by_pos[p] for p in chunk]).astype(
+                        np.float32
                     )
+                    if wire_u8:
+                        if conds.shape[1] > stage_size:
+                            conds = resize_nearest_batch(conds, stage_size)
+                        conds = to_wire_uint8(conds)
+                    kwargs["cond_images"] = _pad_to(conds, bsz)
                 if lowres_needed:
+                    lr = np.stack([stores[stage - 1][p] for p in chunk])
                     kwargs["lowres_image"] = _pad_to(
-                        np.stack([stores[stage - 1][p] for p in chunk]).astype(np.float32),
-                        bsz,
+                        lr if wire_u8 else lr.astype(np.float32), bsz
                     )
                 inp, msk = assemble_inpaint_strips(
                     chunk, stores[stage], cond_by_pos, grid, stage_size, orientation
                 )
                 if inp is not None:
-                    kwargs["inpaint_images"] = _pad_to(inp, bsz)
-                    kwargs["inpaint_masks"] = _pad_to(msk, bsz)
+                    kwargs["inpaint_images"] = _pad_to(
+                        to_wire_uint8(inp) if wire_u8 else inp, bsz
+                    )
+                    kwargs["inpaint_masks"] = _pad_to(
+                        msk.astype(np.uint8) if wire_u8 else msk, bsz
+                    )
                     kwargs["inpaint_resample_times"] = inpaint_resample_times
 
                 if wave_sharding is not None:
@@ -396,9 +442,13 @@ def generate_patch_set(
                     kwargs["ddim_steps"] = ds
                 key, sk = jax.random.split(key)
                 out = cascade.sample_stage(
-                    params_per_stage[stage - 1], stage, sk, batch_size=bsz, **kwargs
+                    params_per_stage[stage - 1], stage, sk, batch_size=bsz,
+                    output_dtype="uint8" if wire_u8 else None, **kwargs
                 )
-                out = np.asarray(out)[: len(chunk)].astype(store_dtype)
+                out = np.asarray(out)[: len(chunk)]
+                if wire_u8:
+                    out = out.astype(np.float32) / 255.0
+                out = out.astype(store_dtype)
                 for k, pos in enumerate(chunk):
                     stores[stage][pos] = out[k]
 
@@ -406,8 +456,8 @@ def generate_patch_set(
                     for k, pos in enumerate(chunk):
                         tag = f"s{stage}_w{wi}_{pos[0]}_{pos[1]}"
                         save_image(out[k].astype(np.float32), f"{debug_dir}/{tag}_patch.png")
-                        if "cond_images" in kwargs:
-                            ci = np.asarray(kwargs["cond_images"][k])
+                        if cond_by_pos is not None:
+                            ci = cond_by_pos[pos]
                             save_image(ci[..., :3], f"{debug_dir}/{tag}_cond.png")
                         if inp is not None:
                             save_image(inp[k], f"{debug_dir}/{tag}_inpaint.png")
@@ -494,6 +544,8 @@ def generate_high_res_image(
     max_patches: Optional[int] = None,
     ddim_steps: int = 0,
     dpmpp_steps: int = 0,
+    all_patches: bool = False,
+    wire: Optional[str] = "uint8",
 ) -> np.ndarray:
     """One magnification refinement: coarse (H, W, 3) [0,1] -> finer
     uint8 canvas (the reference's generate_high_res_image,
@@ -501,7 +553,8 @@ def generate_high_res_image(
     final stage size (1024 for the reference configs).
 
     `max_patches` truncates the patch set (the demo sampler's 2x2 limit,
-    sample_ultra_res_demo.py:117)."""
+    sample_ultra_res_demo.py:117); `all_patches` disables the mag-2
+    tissue filter (see get_cond_images)."""
     patch_size = cascade.config.stages[-1].image_size
     cond_images, patch_pos, grid = get_cond_images(
         zoomed_image,
@@ -511,6 +564,7 @@ def generate_high_res_image(
         patch_size=patch_size,
         center_cond=center_cond,
         airs=airs,
+        all_patches=all_patches,
     )
     if max_patches is not None and len(patch_pos) > max_patches:
         keep = set(patch_pos[:max_patches])
@@ -539,6 +593,7 @@ def generate_high_res_image(
         debug_dir=debug_dir,
         ddim_steps=ddim_steps,
         dpmpp_steps=dpmpp_steps,
+        wire=wire,
     )
     return stitch_patches(
         zoomed_image,

@@ -262,3 +262,68 @@ def test_per_stage_sampler_steps_mixed_serving_point(cascade, stage_params):
         text_embeds=text, cond_images=cond, use_ddim=True, ddim_steps=3,
     )
     np.testing.assert_allclose(np.asarray(mixed), np.asarray(x2), atol=1e-5)
+
+
+def test_uint8_wire_transport_bit_equal(cascade, stage_params):
+    """Compact wire transport: uint8 conditioning inputs decode on device
+    to exactly k/255, so a uint8 upload of uint8-quantized content is
+    bit-equal to the fp32 upload it replaces; uint8 output is the
+    device-side round of the float output (gigapixel orchestrator's
+    default transport)."""
+    _, text, _ = _batch()
+    cond_u8 = np.asarray(
+        jax.random.randint(jax.random.PRNGKey(5), (2, 32, 32, 2), 0, 256),
+        np.uint8,
+    )
+    cond_f32 = cond_u8.astype(np.float32) / 255.0
+    lowres_u8 = np.asarray(
+        jax.random.randint(jax.random.PRNGKey(6), (2, 16, 16, 3), 0, 256),
+        np.uint8,
+    )
+    lowres_f32 = lowres_u8.astype(np.float32) / 255.0
+    key = jax.random.PRNGKey(9)
+
+    a = cascade.sample_stage(
+        stage_params[1], 2, key, batch_size=2, lowres_image=lowres_f32,
+        text_embeds=text, cond_images=cond_f32, use_ddim=True, ddim_steps=3,
+    )
+    b = cascade.sample_stage(
+        stage_params[1], 2, key, batch_size=2, lowres_image=lowres_u8,
+        text_embeds=text, cond_images=cond_u8, use_ddim=True, ddim_steps=3,
+    )
+    np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+    c_u8 = cascade.sample_stage(
+        stage_params[1], 2, key, batch_size=2, lowres_image=lowres_u8,
+        text_embeds=text, cond_images=cond_u8, use_ddim=True, ddim_steps=3,
+        output_dtype="uint8",
+    )
+    assert np.asarray(c_u8).dtype == np.uint8
+    expected = np.round(np.clip(np.asarray(a), 0, 1) * 255).astype(np.uint8)
+    np.testing.assert_array_equal(np.asarray(c_u8), expected)
+
+
+def test_uint8_wire_inpaint_masks(cascade, stage_params):
+    """uint8 inpaint strips/masks (wire transport) match their float
+    sources: masks are 0/1 so uint8 is exact; images quantize to 1/255."""
+    _, text, _ = _batch()
+    inp = np.zeros((1, 32, 32, 3), np.float32)
+    inp[:, :8] = 64.0 / 255.0
+    msk = np.zeros((1, 32, 32), np.float32)
+    msk[:, :8] = 1.0
+    lowres = np.full((1, 16, 16, 3), 128.0 / 255.0, np.float32)
+    cond = np.zeros((1, 32, 32, 2), np.float32)
+    key = jax.random.PRNGKey(13)
+    a = cascade.sample_stage(
+        stage_params[1], 2, key, batch_size=1, lowres_image=lowres,
+        text_embeds=text[:1], cond_images=cond,
+        inpaint_images=inp, inpaint_masks=msk, use_ddim=True, ddim_steps=3,
+    )
+    b = cascade.sample_stage(
+        stage_params[1], 2, key, batch_size=1, lowres_image=lowres,
+        text_embeds=text[:1], cond_images=cond,
+        inpaint_images=np.round(inp * 255).astype(np.uint8),
+        inpaint_masks=msk.astype(np.uint8),
+        use_ddim=True, ddim_steps=3,
+    )
+    np.testing.assert_array_equal(np.asarray(a), np.asarray(b))

@@ -171,6 +171,19 @@ def test_tissue_filter_mag2():
     assert 0 < len(pos) <= grid.num_patches_width**2
 
 
+def test_all_patches_overrides_tissue_filter():
+    # the same all-background image that the HSV filter drops entirely
+    # produces the full grid with all_patches=True (fresh-params demos /
+    # wall-clock benches / non-histology content)
+    bg = np.full((128, 128, 3), 0.95, np.float32)
+    conds, pos, grid = get_cond_images(
+        bg, 2, overlap=0.25, mag_sizes=(512, 256, 64), patch_size=128,
+        all_patches=True,
+    )
+    assert len(pos) == grid.num_patches_width**2
+    assert conds.shape[0] == len(pos)
+
+
 # ---------------------------------------------------------------------------
 # inpaint strips
 # ---------------------------------------------------------------------------
@@ -376,3 +389,29 @@ def test_generate_patch_set_fast_samplers():
         for p in patches.values():
             assert p.shape == (32, 32, 3)
             assert np.isfinite(np.asarray(p, np.float32)).all()
+
+
+def test_resize_nearest_batch_matches_jax():
+    """Host-side cond pre-resize (wire transport) must be bit-identical
+    to the in-model jax.image.resize nearest it replaces
+    (models/unet.py cond_images resize)."""
+    import jax
+
+    rng = np.random.default_rng(3)
+    for h, out in [(128, 64), (128, 32), (96, 32), (100, 64), (64, 64)]:
+        x = rng.uniform(size=(2, h, h, 3)).astype(np.float32)
+        from kidney_diffusion_tpu.sample.gigapixel import resize_nearest_batch
+
+        got = resize_nearest_batch(x, out)
+        want = np.asarray(
+            jax.image.resize(x, (2, out, out, 3), method="nearest")
+        )
+        np.testing.assert_array_equal(got, want, err_msg=f"{h}->{out}")
+
+
+def test_to_wire_uint8_roundtrip_exact_for_canvas_content():
+    from kidney_diffusion_tpu.sample.gigapixel import to_wire_uint8
+
+    canvas = np.arange(256, dtype=np.uint8).reshape(16, 16, 1)
+    img = canvas.astype(np.float32) / 255.0  # what get_cond_images sees
+    np.testing.assert_array_equal(to_wire_uint8(img), canvas)
