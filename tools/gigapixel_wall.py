@@ -99,6 +99,12 @@ def main():
         jax.config.update("jax_platforms", "cpu")
         args.mag2_grid = min(args.mag2_grid, 3)
         args.dpmpp_steps, args.ddim_steps = [4, 0], [0, 2]
+    else:
+        from kidney_diffusion_tpu.utils.compile_cache import (
+            enable_compilation_cache,
+        )
+
+        enable_compilation_cache()
 
     from kidney_diffusion_tpu.data.wsi import MAG_LEVEL_SIZES
     from kidney_diffusion_tpu.sample.gigapixel import (
