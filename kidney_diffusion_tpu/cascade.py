@@ -338,10 +338,16 @@ class Cascade:
         dpmpp_steps: int = 0,
         spatial_shard=None,
         output_dtype: Optional[str] = None,
+        output_split: bool = False,
     ) -> Array:
         """Jit-cached stage sampling (one compiled program per
         (stage, batch, conditioning-signature); retraces only on new
         shapes). The gigapixel orchestrator calls this once per wave.
+
+        `output_split=True` returns a tuple of `batch_size` per-image
+        arrays instead of one stacked array — split inside the jitted
+        program, so the device-resident orchestrator gets per-patch
+        handles without one slice dispatch per patch.
 
         Image inputs (`lowres_image`, `cond_images`, `inpaint_images`)
         may arrive as uint8 [0, 255] or any float dtype — integer inputs
@@ -366,6 +372,7 @@ class Cascade:
             dpmpp_steps,
             spatial_shard,
             output_dtype,
+            output_split,
         )
         if not hasattr(self, "_stage_jit_cache"):
             self._stage_jit_cache = {}
@@ -373,7 +380,7 @@ class Cascade:
 
             def fn(params, key, lowres_image, text_embeds, cond_images,
                    inpaint_images, inpaint_masks):
-                return self._sample_stage_impl(
+                out = self._sample_stage_impl(
                     params,
                     unet_number,
                     key,
@@ -392,6 +399,9 @@ class Cascade:
                     spatial_shard=spatial_shard,
                     output_dtype=output_dtype,
                 )
+                if output_split:
+                    return tuple(out[k] for k in range(batch_size))
+                return out
 
             self._stage_jit_cache[static_key] = jax.jit(fn)
 

@@ -34,6 +34,9 @@ def parse_args():
                    help="DDIM fast-path steps; one value for all stages or one per stage (0 disables — e.g. the validated serving mix: --dpmpp_steps 25 25 0 --ddim_steps 0 0 4)")
     p.add_argument("--dpmpp_steps", type=int, nargs="+", default=0,
                    help="DPM-Solver++(2M) steps; one value for all stages or one per stage (0 disables; beats --ddim_steps per stage)")
+    p.add_argument("--wire", type=str, default="resident",
+                   choices=["resident", "uint8", "fp32"],
+                   help="host<->device transport (see sample_ultra_res)")
     p.add_argument("--quant", type=str, default="int8",
                    choices=("int8", "none"),
                    help="w8a8 int8 serving mode for the >=512 stages — ON "
@@ -72,6 +75,7 @@ def main():
         max_wave_batch=args.max_wave_batch,
         ddim_steps=args.ddim_steps,
         dpmpp_steps=args.dpmpp_steps,
+        wire=None if args.wire == "fp32" else args.wire,
     )
     out = f"{args.sample_dir}/OUTPAINT-{uuid4().hex[:8]}.jpg"
     save_image(canvas, out)

@@ -49,6 +49,13 @@ def parse_args():
                    help="DPM-Solver++(2M) steps; one value for all stages or one per stage (0 disables; beats --ddim_steps per stage)")
     p.add_argument("--ddim_steps", type=int, nargs="+", default=0,
                    help="DDIM fast-path steps; one value for all stages or one per stage (0 disables — e.g. the validated serving mix: --dpmpp_steps 25 25 0 --ddim_steps 0 0 4)")
+    p.add_argument("--wire", type=str, default="resident",
+                   choices=["resident", "uint8", "fp32"],
+                   help="host<->device transport: 'resident' keeps the "
+                        "level on device (canvas uploaded once, strips "
+                        "assembled on-chip, outputs fetched in the "
+                        "background — the single-chip serving default); "
+                        "'uint8' / 'fp32' stage conditioning on host")
     p.add_argument("--all_patches", action="store_true",
                    help="disable the mag-2 tissue filter and generate "
                         "the full patch grid (for non-histology content "
@@ -144,6 +151,7 @@ def main():
         mesh=mesh,
         ddim_steps=args.ddim_steps,
         dpmpp_steps=args.dpmpp_steps,
+        wire=None if args.wire == "fp32" else args.wire,
     )
     save_image(mag1, f"{args.sample_dir}/MAG1-{sample_id}{postfix}.jpg")
     print(f"MAG1 saved ({mag1.shape})", flush=True)
@@ -167,6 +175,7 @@ def main():
         ddim_steps=args.ddim_steps,
         dpmpp_steps=args.dpmpp_steps,
         all_patches=args.all_patches,
+        wire=None if args.wire == "fp32" else args.wire,
     )
     save_image(mag2, f"{args.sample_dir}/MAG2-{sample_id}{postfix}.jpg")
     print(f"MAG2 saved ({mag2.shape})", flush=True)

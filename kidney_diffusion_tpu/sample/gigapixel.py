@@ -158,7 +158,8 @@ def get_cond_images(
     airs: bool = False,
     fill: float = 0.95,
     all_patches: bool = False,
-) -> Tuple[np.ndarray, List[Pos], GridSpec]:
+    materialize: bool = True,
+) -> Tuple[Optional[np.ndarray], List[Pos], GridSpec]:
     """Per-patch recentered conditioning images.
 
     zoomed_image: (H, W, 3) float [0,1] — the stitched mag-(k-1) output.
@@ -167,6 +168,9 @@ def get_cond_images(
     `all_patches` skips the mag-2 tissue filter and generates the full
     grid — needed when the coarse image carries no real tissue signal
     (fresh-params demos, wall-clock benchmarks, non-histology content).
+    `materialize=False` computes only (patch_pos, grid) and returns None
+    cond images — the device-resident transport slices crops from the
+    uploaded canvas instead of staging N patch-size copies on host.
     """
     if airs:
         fill = 0.0
@@ -179,6 +183,9 @@ def get_cond_images(
         patch_pos = tissue_patch_filter(zoomed_image, grid, airs=airs)
     else:
         patch_pos = full_grid(grid.num_patches_width)
+
+    if not materialize:
+        return None, patch_pos, grid
 
     conds = []
     for i, j in patch_pos:
@@ -316,6 +323,9 @@ def generate_patch_set(
     ddim_steps: int = 0,
     dpmpp_steps: int = 0,
     wire: Optional[str] = "uint8",
+    zoomed_image: Optional[np.ndarray] = None,
+    fill: float = 0.95,
+    center_cond: bool = False,
 ) -> Dict[Pos, np.ndarray]:
     """Generate all patches of one magnification level through the full
     cascade, wave by wave, batched.
@@ -337,16 +347,49 @@ def generate_patch_set(
     ~5x (the final canvas is uint8 anyway). `wire=None` restores fp32
     transport.
 
+    `wire="resident"` keeps the level device-resident (sample/resident.py):
+    the coarse canvas (`zoomed_image`, with `fill`/`center_cond` from the
+    level geometry) is uploaded once and all conditioning is assembled
+    on-device; only finished final-stage patches return to host, via a
+    background fetcher that overlaps the download with compute. When no
+    canvas is passed, the materialized `cond_images` stack is uploaded
+    once instead; outpainting (no conditioning) needs neither. Falls
+    back to "uint8" under `mesh` (SPMD wave sharding keeps the host
+    transport for now).
+
     Returns pos -> final-stage patch (stage_size², float16 [0,1]).
     """
+    if wire == "resident" and mesh is not None:
+        if progress:
+            print("[gigapixel] resident wire unsupported with mesh; using uint8")
+        wire = "uint8"
+    resident = wire == "resident"
     num_stages = cascade.config.num_stages
     orientation = choose_orientation(patch_pos)
     waves = plan_waves(patch_pos, orientation)
     cond_by_pos = (
         {pos: cond_images[k] for k, pos in enumerate(patch_pos)}
-        if cond_images is not None
+        if cond_images is not None and not resident
         else None
     )
+
+    engine = None
+    if resident:
+        from .resident import ResidentEngine, last_use_waves
+
+        patch_size = cascade.config.stages[-1].image_size
+        engine = ResidentEngine(
+            patch_size=patch_size,
+            grid=grid,
+            orientation=orientation,
+            canvas=zoomed_image,
+            cond_stack=cond_images if zoomed_image is None else None,
+            patch_pos=patch_pos,
+            fill=fill,
+            center_cond=center_cond,
+            store_dtype=store_dtype,
+        )
+        last_use = last_use_waves(waves, orientation)
 
     # per-stage generated patches (host, compact dtype)
     stores: List[Dict[Pos, np.ndarray]] = [dict() for _ in range(num_stages + 1)]
@@ -355,13 +398,17 @@ def generate_patch_set(
     if ignore_stage_1:
         # seed stage 2 from the center crop of the cond image
         # (sample_ultra_res.py:418-421)
-        assert cond_by_pos is not None
-        ps = next(iter(cond_by_pos.values())).shape[0]
-        y0 = ps // 2 - grid.patch_width // 2
-        for pos, cond in cond_by_pos.items():
-            stores[1][pos] = cond[
-                y0 : y0 + grid.patch_width, y0 : y0 + grid.patch_width, :3
-            ].astype(store_dtype)
+        if resident:
+            assert engine.mode is not None, "ignore_stage_1 needs conditioning"
+            stores[1] = engine.seed_center_crops(patch_pos)
+        else:
+            assert cond_by_pos is not None
+            ps = next(iter(cond_by_pos.values())).shape[0]
+            y0 = ps // 2 - grid.patch_width // 2
+            for pos, cond in cond_by_pos.items():
+                stores[1][pos] = cond[
+                    y0 : y0 + grid.patch_width, y0 : y0 + grid.patch_width, :3
+                ].astype(store_dtype)
         start_stage = 2
 
     if debug_dir is not None:
@@ -395,32 +442,45 @@ def generate_patch_set(
                     bsz = ((bsz + data_size - 1) // data_size) * data_size
 
                 wire_u8 = wire == "uint8"
-                kwargs = {}
-                if cond_by_pos is not None:
-                    conds = np.stack([cond_by_pos[p] for p in chunk]).astype(
-                        np.float32
+                inp = msk = None
+                if resident:
+                    kwargs = engine.prep_chunk(
+                        chunk,
+                        stage_size,
+                        stores[stage],
+                        stores[stage - 1] if lowres_needed else None,
+                        bsz,
+                        need_cond=engine.mode is not None,
                     )
-                    if wire_u8:
-                        if conds.shape[1] > stage_size:
-                            conds = resize_nearest_batch(conds, stage_size)
-                        conds = to_wire_uint8(conds)
-                    kwargs["cond_images"] = _pad_to(conds, bsz)
-                if lowres_needed:
-                    lr = np.stack([stores[stage - 1][p] for p in chunk])
-                    kwargs["lowres_image"] = _pad_to(
-                        lr if wire_u8 else lr.astype(np.float32), bsz
+                    if "inpaint_images" in kwargs:
+                        kwargs["inpaint_resample_times"] = inpaint_resample_times
+                else:
+                    kwargs = {}
+                    if cond_by_pos is not None:
+                        conds = np.stack([cond_by_pos[p] for p in chunk]).astype(
+                            np.float32
+                        )
+                        if wire_u8:
+                            if conds.shape[1] > stage_size:
+                                conds = resize_nearest_batch(conds, stage_size)
+                            conds = to_wire_uint8(conds)
+                        kwargs["cond_images"] = _pad_to(conds, bsz)
+                    if lowres_needed:
+                        lr = np.stack([stores[stage - 1][p] for p in chunk])
+                        kwargs["lowres_image"] = _pad_to(
+                            lr if wire_u8 else lr.astype(np.float32), bsz
+                        )
+                    inp, msk = assemble_inpaint_strips(
+                        chunk, stores[stage], cond_by_pos, grid, stage_size, orientation
                     )
-                inp, msk = assemble_inpaint_strips(
-                    chunk, stores[stage], cond_by_pos, grid, stage_size, orientation
-                )
-                if inp is not None:
-                    kwargs["inpaint_images"] = _pad_to(
-                        to_wire_uint8(inp) if wire_u8 else inp, bsz
-                    )
-                    kwargs["inpaint_masks"] = _pad_to(
-                        msk.astype(np.uint8) if wire_u8 else msk, bsz
-                    )
-                    kwargs["inpaint_resample_times"] = inpaint_resample_times
+                    if inp is not None:
+                        kwargs["inpaint_images"] = _pad_to(
+                            to_wire_uint8(inp) if wire_u8 else inp, bsz
+                        )
+                        kwargs["inpaint_masks"] = _pad_to(
+                            msk.astype(np.uint8) if wire_u8 else msk, bsz
+                        )
+                        kwargs["inpaint_resample_times"] = inpaint_resample_times
 
                 if wave_sharding is not None:
                     kwargs = {
@@ -441,30 +501,76 @@ def generate_patch_set(
                     kwargs["use_ddim"] = True
                     kwargs["ddim_steps"] = ds
                 key, sk = jax.random.split(key)
-                out = cascade.sample_stage(
-                    params_per_stage[stage - 1], stage, sk, batch_size=bsz,
-                    output_dtype="uint8" if wire_u8 else None, **kwargs
-                )
-                out = np.asarray(out)[: len(chunk)]
-                if wire_u8:
-                    out = out.astype(np.float32) / 255.0
-                out = out.astype(store_dtype)
-                for k, pos in enumerate(chunk):
-                    stores[stage][pos] = out[k]
+                if resident:
+                    outs = cascade.sample_stage(
+                        params_per_stage[stage - 1], stage, sk, batch_size=bsz,
+                        output_dtype="uint8", output_split=True, **kwargs
+                    )
+                    for k, pos in enumerate(chunk):
+                        stores[stage][pos] = outs[k]
+                        if stage == num_stages:
+                            engine.enqueue_final(pos, outs[k])
+                else:
+                    out = cascade.sample_stage(
+                        params_per_stage[stage - 1], stage, sk, batch_size=bsz,
+                        output_dtype="uint8" if wire_u8 else None, **kwargs
+                    )
+                    out = np.asarray(out)[: len(chunk)]
+                    if wire_u8:
+                        out = out.astype(np.float32) / 255.0
+                    out = out.astype(store_dtype)
+                    for k, pos in enumerate(chunk):
+                        stores[stage][pos] = out[k]
 
                 if debug_dir is not None:
+                    if resident:
+                        out = np.stack(
+                            [np.asarray(stores[stage][p]) for p in chunk]
+                        ).astype(np.float32) / 255.0
+                        ri = kwargs.get("inpaint_images")
+                        inp = (
+                            np.asarray(ri).astype(np.float32)[: len(chunk)] / 255.0
+                            if ri is not None
+                            else None
+                        )
+                        rm = kwargs.get("inpaint_masks")
+                        msk = (
+                            np.asarray(rm).astype(np.float32)[: len(chunk)]
+                            if rm is not None
+                            else None
+                        )
+                        rc = kwargs.get("cond_images")
+                        cond_dump = (
+                            np.asarray(rc).astype(np.float32)[: len(chunk)] / 255.0
+                            if rc is not None
+                            else None
+                        )
+                    else:
+                        cond_dump = (
+                            np.stack([cond_by_pos[p] for p in chunk])
+                            if cond_by_pos is not None
+                            else None
+                        )
                     for k, pos in enumerate(chunk):
                         tag = f"s{stage}_w{wi}_{pos[0]}_{pos[1]}"
                         save_image(out[k].astype(np.float32), f"{debug_dir}/{tag}_patch.png")
-                        if cond_by_pos is not None:
-                            ci = cond_by_pos[pos]
-                            save_image(ci[..., :3], f"{debug_dir}/{tag}_cond.png")
+                        if cond_dump is not None:
+                            save_image(cond_dump[k][..., :3], f"{debug_dir}/{tag}_cond.png")
                         if inp is not None:
                             save_image(inp[k], f"{debug_dir}/{tag}_inpaint.png")
                             save_image(
                                 np.repeat(msk[k][..., None], 3, -1),
                                 f"{debug_dir}/{tag}_inpaint_mask.png",
                             )
+            if resident and stage == num_stages:
+                # final-stage device entries are dead once no later wave
+                # reads their strips (the fetcher holds its own handle
+                # until the download lands) — bounds device memory to a
+                # few waves even on full-slide patch sets
+                for pos in [
+                    p for p in stores[stage] if last_use.get(p, -1) <= wi
+                ]:
+                    del stores[stage][pos]
             if progress:
                 done = sum(len(w) for w in waves[: wi + 1])
                 print(
@@ -473,6 +579,8 @@ def generate_patch_set(
                     flush=True,
                 )
 
+    if resident:
+        return engine.finish()
     return stores[num_stages]
 
 
@@ -556,6 +664,7 @@ def generate_high_res_image(
     sample_ultra_res_demo.py:117); `all_patches` disables the mag-2
     tissue filter (see get_cond_images)."""
     patch_size = cascade.config.stages[-1].image_size
+    resident = wire == "resident" and mesh is None
     cond_images, patch_pos, grid = get_cond_images(
         zoomed_image,
         mag_level,
@@ -565,12 +674,12 @@ def generate_high_res_image(
         center_cond=center_cond,
         airs=airs,
         all_patches=all_patches,
+        materialize=not resident,
     )
     if max_patches is not None and len(patch_pos) > max_patches:
-        keep = set(patch_pos[:max_patches])
-        cond_images = cond_images[: max_patches]
+        if cond_images is not None:
+            cond_images = cond_images[:max_patches]
         patch_pos = patch_pos[:max_patches]
-        del keep
     if progress:
         print(
             f"[gigapixel] mag {mag_level}: {len(patch_pos)} patches, "
@@ -594,6 +703,9 @@ def generate_high_res_image(
         ddim_steps=ddim_steps,
         dpmpp_steps=dpmpp_steps,
         wire=wire,
+        zoomed_image=zoomed_image if resident else None,
+        fill=0.0 if airs else 0.95,
+        center_cond=center_cond,
     )
     return stitch_patches(
         zoomed_image,

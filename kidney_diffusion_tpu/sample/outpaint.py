@@ -10,7 +10,7 @@ images — neighbour strips only ever come from already-generated patches
 
 from __future__ import annotations
 
-from typing import Sequence
+from typing import Optional, Sequence
 
 import numpy as np
 
@@ -33,6 +33,7 @@ def generate_outpainted_image(
     progress: bool = True,
     ddim_steps: int = 0,
     dpmpp_steps: int = 0,
+    wire: Optional[str] = "uint8",
 ) -> np.ndarray:
     """Generate an (W, W, 3) uint8 image, W = patch_size + (N-1)·dist."""
     patch_pos = full_grid(num_patches_width)
@@ -56,6 +57,7 @@ def generate_outpainted_image(
         progress=progress,
         ddim_steps=ddim_steps,
         dpmpp_steps=dpmpp_steps,
+        wire=wire,
     )
 
     patch_dist = grid.patch_dist

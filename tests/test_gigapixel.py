@@ -415,3 +415,217 @@ def test_to_wire_uint8_roundtrip_exact_for_canvas_content():
     canvas = np.arange(256, dtype=np.uint8).reshape(16, 16, 1)
     img = canvas.astype(np.float32) / 255.0  # what get_cond_images sees
     np.testing.assert_array_equal(to_wire_uint8(img), canvas)
+
+
+# ---------------------------------------------------------------------------
+# device-resident transport (sample/resident.py)
+# ---------------------------------------------------------------------------
+
+
+def _tiny_cond_setup():
+    from kidney_diffusion_tpu.cascade import Cascade
+    from kidney_diffusion_tpu.models.configs import tiny_test_cascade
+
+    cc = tiny_test_cascade(cond_images_channels=3, image_sizes=(16, 32), timesteps=4)
+    cas = Cascade(cc)
+    params = [cas.init_stage_params(jax.random.PRNGKey(i), i + 1) for i in range(2)]
+    zoomed = np.random.default_rng(0).uniform(size=(64, 64, 3)).astype(np.float32)
+    return cas, params, zoomed
+
+
+def test_resident_e2e_bit_equal_to_uint8_wire():
+    """The device-resident transport is numerically identical to the
+    uint8 wire on a full grid: same quantization points, same RNG
+    stream, on-device crop/strip assembly == host assembly."""
+    cas, params, zoomed = _tiny_cond_setup()
+    kwargs = dict(overlap=0.25, mag_sizes=(256, 128, 32), progress=False)
+    a = generate_high_res_image(
+        cas, params, jax.random.PRNGKey(0), zoomed, 1, wire="uint8", **kwargs
+    )
+    b = generate_high_res_image(
+        cas, params, jax.random.PRNGKey(0), zoomed, 1, wire="resident", **kwargs
+    )
+    np.testing.assert_array_equal(a, b)
+
+
+def test_resident_cond_crops_match_host(tmp_path):
+    """On-device canvas slicing reproduces crop_with_fill + uint8 wire
+    encoding exactly, including the fill regions of edge patches."""
+    from kidney_diffusion_tpu.sample.gigapixel import to_wire_uint8
+    from kidney_diffusion_tpu.sample.resident import ResidentEngine
+
+    rng = np.random.default_rng(1)
+    zoomed = rng.uniform(size=(50, 50, 3)).astype(np.float32)
+    ps = 32
+    grid = GridSpec(patch_width=16, patch_dist=12, num_patches_width=4, overlap=0.25)
+    engine = ResidentEngine(
+        patch_size=ps, grid=grid, orientation=-1, canvas=zoomed, fill=0.95
+    )
+    try:
+        # the (3,3) patch center overhangs the canvas: fill semantics
+        for pos in [(0, 0), (1, 2), (3, 3)]:
+            kw = engine.prep_chunk([pos], 16, {}, None, 1, need_cond=True)
+            got = np.asarray(kw["cond_images"])[0]
+            i, j = pos
+            cy = i * grid.patch_dist + grid.patch_width // 2
+            cx = j * grid.patch_dist + grid.patch_width // 2
+            want = to_wire_uint8(
+                crop_with_fill(zoomed, cy - ps // 2, cx - ps // 2, ps, 0.95)
+            )
+            np.testing.assert_array_equal(got, want)
+    finally:
+        engine.finish()
+
+
+def test_resident_strips_match_host_assembly():
+    """On-device strip assembly == assemble_inpaint_strips + uint8
+    encoding: generated neighbours exact, coarse fallback within one
+    uint8 count (bilinear resize implementations differ), diagonal
+    corner priority and the mask quirk preserved."""
+    import jax.numpy as jnp
+
+    from kidney_diffusion_tpu.sample.gigapixel import to_wire_uint8
+    from kidney_diffusion_tpu.sample.resident import ResidentEngine
+
+    rng = np.random.default_rng(2)
+    zoomed = rng.uniform(size=(60, 60, 3)).astype(np.float32)
+    ps, hs = 32, 16
+    # patch_dist <= ps//2 - patch_width//2 so the coarse fallback region
+    # stays inside cond coverage (same geometry as the host fallback test)
+    grid = GridSpec(patch_width=8, patch_dist=6, num_patches_width=4, overlap=0.25)
+    # host-side stores (fp32 [0,1]) and matching device stores (uint8)
+    host_store, dev_store = {}, {}
+    for pos in [(0, 1), (1, 0), (0, 0)]:
+        img8 = rng.integers(0, 256, size=(hs, hs, 3), dtype=np.uint8)
+        host_store[pos] = img8.astype(np.float32) / 255.0
+        dev_store[pos] = jnp.asarray(img8)
+    # (1,1): all three neighbours generated. (2,2): none generated ->
+    # coarse fallback for all three slots.
+    for orientation in (-1, 1):
+        engine = ResidentEngine(
+            patch_size=ps, grid=grid, orientation=orientation,
+            canvas=zoomed, fill=0.95,
+        )
+        try:
+            cond_by_pos = {}
+            for pos in [(1, 1), (2, 2)]:
+                i, j = pos
+                cy = i * grid.patch_dist + grid.patch_width // 2
+                cx = j * grid.patch_dist + grid.patch_width // 2
+                cond_by_pos[pos] = crop_with_fill(
+                    zoomed, cy - ps // 2, cx - ps // 2, ps, 0.95
+                )
+            for pos, atol in [((1, 1), 1), ((2, 2), 1)]:
+                kw = engine.prep_chunk([pos], hs, dev_store, None, 1, need_cond=True)
+                want_img, want_msk = assemble_inpaint_strips(
+                    [pos], host_store, cond_by_pos, grid, hs, orientation
+                )
+                assert want_img is not None
+                got_img = np.asarray(kw["inpaint_images"])[0].astype(int)
+                got_msk = np.asarray(kw["inpaint_masks"])[0].astype(int)
+                np.testing.assert_allclose(
+                    got_img, to_wire_uint8(want_img[0]).astype(int), atol=atol
+                )
+                np.testing.assert_array_equal(got_msk, want_msk[0].astype(int))
+        finally:
+            engine.finish()
+
+
+def test_resident_outpaint_end_to_end():
+    """No conditioning at all (outpainting): strips come only from
+    generated neighbours; resident == uint8 wire bit-for-bit."""
+    from kidney_diffusion_tpu.cascade import Cascade
+    from kidney_diffusion_tpu.models.configs import tiny_test_cascade
+
+    cc = tiny_test_cascade(image_sizes=(16, 32), timesteps=4)
+    cas = Cascade(cc)
+    params = [cas.init_stage_params(jax.random.PRNGKey(i), i + 1) for i in range(2)]
+    kwargs = dict(num_patches_width=2, overlap=0.25, patch_size=32, progress=False)
+    a = generate_outpainted_image(
+        cas, params, jax.random.PRNGKey(3), wire="uint8", **kwargs
+    )
+    b = generate_outpainted_image(
+        cas, params, jax.random.PRNGKey(3), wire="resident", **kwargs
+    )
+    np.testing.assert_array_equal(a, b)
+
+
+def test_resident_ignore_stage_1_and_sparse_set():
+    """--ignore_unet_1 seeding and a tissue-sparse patch set (coarse
+    strip fallback) through the resident path: matches the host wire
+    path within one uint8 count."""
+    from kidney_diffusion_tpu.cascade import Cascade
+    from kidney_diffusion_tpu.models.configs import tiny_test_cascade
+    from kidney_diffusion_tpu.sample.gigapixel import generate_patch_set, get_cond_images
+
+    cc = tiny_test_cascade(cond_images_channels=3, image_sizes=(16, 32), timesteps=4)
+    cas = Cascade(cc)
+    params = [cas.init_stage_params(jax.random.PRNGKey(i), i + 1) for i in range(2)]
+    zoomed = np.random.default_rng(4).uniform(size=(64, 64, 3)).astype(np.float32)
+    cond_images, patch_pos, grid = get_cond_images(zoomed, 1, overlap=0.25,
+                                                   mag_sizes=(256, 128, 32),
+                                                   patch_size=32)
+    # drop one interior position: its dependents use the coarse fallback
+    drop = patch_pos[len(patch_pos) // 2]
+    keep = [k for k, p in enumerate(patch_pos) if p != drop]
+    cond_images = cond_images[keep]
+    patch_pos = [patch_pos[k] for k in keep]
+    common = dict(
+        patch_pos=patch_pos, grid=grid, inpaint_resample_times=2,
+        ignore_stage_1=True, progress=False,
+    )
+    a = generate_patch_set(
+        cas, params, jax.random.PRNGKey(5), cond_images=cond_images,
+        wire="uint8", **common
+    )
+    b = generate_patch_set(
+        cas, params, jax.random.PRNGKey(5), cond_images=None,
+        wire="resident", zoomed_image=zoomed, **common
+    )
+    assert set(a) == set(b) == set(patch_pos)
+    for pos in patch_pos:
+        np.testing.assert_allclose(
+            np.asarray(a[pos], np.float32), np.asarray(b[pos], np.float32),
+            atol=2.5 / 255.0,
+        )
+
+
+def test_resident_stack_mode_matches_canvas_mode():
+    """Direct callers that pass materialized cond images (no canvas) get
+    the uploaded-stack variant; it must equal canvas slicing."""
+    from kidney_diffusion_tpu.sample.gigapixel import generate_patch_set, get_cond_images
+
+    cas, params, zoomed = _tiny_cond_setup()
+    cond_images, patch_pos, grid = get_cond_images(zoomed, 1, overlap=0.25,
+                                                   mag_sizes=(256, 128, 32),
+                                                   patch_size=32)
+    common = dict(patch_pos=patch_pos, grid=grid, progress=False)
+    a = generate_patch_set(
+        cas, params, jax.random.PRNGKey(6), cond_images=cond_images,
+        wire="resident", **common
+    )
+    b = generate_patch_set(
+        cas, params, jax.random.PRNGKey(6), cond_images=None,
+        wire="resident", zoomed_image=zoomed, **common
+    )
+    for pos in patch_pos:
+        np.testing.assert_array_equal(np.asarray(a[pos]), np.asarray(b[pos]))
+
+
+def test_last_use_waves_accounting():
+    """Eviction bookkeeping: a dependency is kept through the wave of its
+    LAST consumer, not a fixed window (irregular sets can consume a
+    neighbour many waves after it was generated)."""
+    from kidney_diffusion_tpu.sample.resident import last_use_waves
+
+    pos = [(0, 0), (0, 1), (1, 0), (1, 1)]
+    waves = plan_waves(pos, 1)
+    last = last_use_waves(waves, 1)
+    wave_of = {p: wi for wi, w in enumerate(waves) for p in w}
+    for p in pos:
+        for d in deps(p, 1):
+            if d in wave_of:
+                assert last[d] >= wave_of[p] - 1  # consumer's wave
+    # a patch consumed by nobody can be evicted immediately
+    lone = [(0, 0)]
+    assert last_use_waves(plan_waves(lone, 1), 1).get((0, 0), -1) == -1

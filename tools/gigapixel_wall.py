@@ -89,6 +89,8 @@ def main():
     p.add_argument("--dpmpp_steps", type=int, nargs="+", default=[25, 25, 0])
     p.add_argument("--ddim_steps", type=int, nargs="+", default=[0, 0, 4])
     p.add_argument("--quant", type=str, default="int8")
+    p.add_argument("--wire", type=str, default="resident",
+                   choices=["resident", "uint8", "fp32"])
     p.add_argument("--storage", type=str, default="float8_e4m3fn")
     p.add_argument("--smoke", action="store_true",
                    help="CPU plumbing check: tiny cascades, tiny pyramid")
@@ -125,6 +127,7 @@ def main():
             "overlap": args.overlap,
             "inpaint_resample": args.inpaint_resample,
             "max_wave_batch": args.max_wave_batch,
+            "wire": args.wire,
         },
         "levels": {},
     }
@@ -154,6 +157,7 @@ def main():
         inpaint_resample_times=args.inpaint_resample,
         max_wave_batch=args.max_wave_batch,
         dpmpp_steps=args.dpmpp_steps, ddim_steps=args.ddim_steps,
+        wire=None if args.wire == "fp32" else args.wire,
     )
     t_mag1 = time.perf_counter() - t0
     ps1 = cascade1.config.stages[-1].image_size
@@ -197,6 +201,7 @@ def main():
             max_wave_batch=args.max_wave_batch,
             dpmpp_steps=args.dpmpp_steps, ddim_steps=args.ddim_steps,
             all_patches=True,
+            wire=None if args.wire == "fp32" else args.wire,
         )
         dt = time.perf_counter() - t0
         metrics["levels"][f"mag2_{label}"] = {
