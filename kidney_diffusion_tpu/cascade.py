@@ -55,17 +55,29 @@ def resize_image_to(x: Array, size: int, method: str = "nearest") -> Array:
     return jax.image.resize(x, (b, size, size, c), method=method)
 
 
-def stage_sampler_steps(val, unet_number: int) -> int:
+def stage_sampler_steps(val, unet_number: int, num_stages: int = None) -> int:
     """Resolve a per-stage sampler step count.
 
-    `ddim_steps` / `dpmpp_steps` accept either an int (applies to every
-    stage) or a sequence indexed by stage number, clamped to its last
-    entry. Lets one cascade call express MIXED serving points — e.g. the
-    validated shipped configuration `dpmpp_steps=(25, 25, 0),
-    ddim_steps=(0, 0, 4)`: anchor-quality dpmpp on the cheap base/SR
-    stages, the distilled ddim-4 student on the 1024² stage
-    (artifacts/r3_cascade_distill/serving_mix: FID 1.805 vs 1.925)."""
+    `ddim_steps` / `dpmpp_steps` accept either an int / 1-sequence
+    (applies to every stage) or a sequence indexed by stage number. Lets
+    one cascade call express MIXED serving points — e.g. the validated
+    shipped configuration `dpmpp_steps=(25, 25, 0), ddim_steps=(0, 0, 4)`:
+    anchor-quality dpmpp on the cheap base/SR stages, the distilled
+    ddim-4 student on the 1024² stage
+    (artifacts/r3_cascade_distill/serving_mix: FID 1.805 vs 1.925).
+
+    When `num_stages` is known, any other sequence length is REJECTED:
+    silently clamping a typo'd `--dpmpp_steps 25 25` (meaning 25/25/0)
+    to 25/25/25 would serve the 1024² stage at 6x the intended cost
+    (round-3 verdict, Weak #6)."""
     if isinstance(val, (tuple, list)):
+        if num_stages is not None and len(val) not in (1, num_stages):
+            raise ValueError(
+                f"per-stage sampler step sequence {tuple(val)} has "
+                f"{len(val)} entries but the cascade has {num_stages} "
+                f"stages; pass one entry per stage (or a single int) — "
+                f"implicit clamping hid a serving-cost mistake"
+            )
         return int(val[min(unet_number - 1, len(val) - 1)])
     return int(val)
 
@@ -627,8 +639,8 @@ class Cascade:
         for n in range(start_at_unet_number, stop + 1):
             key, sk = jax.random.split(key)
             st = self.config.stage(n)
-            ds = stage_sampler_steps(ddim_steps, n)
-            ps = stage_sampler_steps(dpmpp_steps, n)
+            ds = stage_sampler_steps(ddim_steps, n, self.config.num_stages)
+            ps = stage_sampler_steps(dpmpp_steps, n, self.config.num_stages)
             stage_inpaint_images = None
             stage_inpaint_masks = None
             if inpaint_images is not None:
@@ -685,8 +697,8 @@ class Cascade:
         current = None  # host store between stages (numpy, compact)
         for n in range(1, stop + 1):
             bsz = stage_batch_sizes[n - 1]
-            ds = stage_sampler_steps(ddim_steps, n)
-            ps = stage_sampler_steps(dpmpp_steps, n)
+            ds = stage_sampler_steps(ddim_steps, n, self.config.num_stages)
+            ps = stage_sampler_steps(dpmpp_steps, n, self.config.num_stages)
             outs = []
             def pad(x, b):
                 if x.shape[0] == b:

@@ -198,8 +198,17 @@ def get_cond_images(
             pw = grid.patch_width
             y0 = (patch_size - pw) // 2
             center = cond[y0 : y0 + pw, y0 : y0 + pw]
+            # ROUND-quantize the center channels (not the training
+            # dataset's truncating uint8 cast, data/ultra_res.py): the
+            # wire transport rounds anyway, and rounding here makes the
+            # host path bit-identical to the resident canvas slicing for
+            # ANY float canvas (ADVICE r3 — trunc deviated up to 1/255).
+            # The reference's serving path applies no quantization at all
+            # here (sample_ultra_res.py:393-400 keeps float tensors), so
+            # a <=1/255 departure from the dataset construction is well
+            # inside the lowres-aug noise the models train against.
             center_up = resize_nearest(
-                (center * 255).astype(np.uint8), patch_size, patch_size
+                to_wire_uint8(center), patch_size, patch_size
             ).astype(np.float32) / 255.0
             cond = np.concatenate([cond, center_up], axis=-1)
         conds.append(cond)
@@ -243,7 +252,9 @@ def assemble_inpaint_strips(
         the patch set) fall back to the coarse cond image when there is
         image space in that direction."""
         if pos in generated:
-            p = generated[pos].astype(np.float32)
+            p = generated[pos]
+            scale = 255.0 if p.dtype == np.uint8 else 1.0  # uint8-wire stores
+            p = p.astype(np.float32) / scale
             if p.shape[0] != stage_size:
                 p = resize_bilinear(p, stage_size, stage_size)
             return p
@@ -340,12 +351,14 @@ def generate_patch_set(
     `wire="uint8"` (default) moves images over the host<->device link as
     uint8: cond images are pre-resized to the stage input size (bit-equal
     to the in-model nearest resize) and encoded [0,255]; inpaint strips
-    and masks likewise; stage outputs come back uint8. This is exact for
-    cond images (they come from uint8 canvases) and quantizes strips /
-    inter-stage lowres to 1/255 — far below the lowres aug-noise the
-    models are conditioned with — while cutting per-patch transfer bytes
-    ~5x (the final canvas is uint8 anyway). `wire=None` restores fp32
-    transport.
+    and masks likewise; stage outputs come back uint8 and are STORED
+    uint8 between stages (so inter-stage lowres is genuinely identical
+    to the resident path's device store, not an f16 rounding of it).
+    This is exact for cond images (they come from uint8 canvases) and
+    quantizes strips / inter-stage lowres to 1/255 — far below the
+    lowres aug-noise the models are conditioned with — while cutting
+    per-patch transfer bytes ~5x (the final canvas is uint8 anyway).
+    `wire=None` restores fp32 transport.
 
     `wire="resident"` keeps the level device-resident (sample/resident.py):
     the coarse canvas (`zoomed_image`, with `fill`/`center_cond` from the
@@ -406,9 +419,12 @@ def generate_patch_set(
             ps = next(iter(cond_by_pos.values())).shape[0]
             y0 = ps // 2 - grid.patch_width // 2
             for pos, cond in cond_by_pos.items():
-                stores[1][pos] = cond[
+                crop = cond[
                     y0 : y0 + grid.patch_width, y0 : y0 + grid.patch_width, :3
-                ].astype(store_dtype)
+                ]
+                stores[1][pos] = (
+                    to_wire_uint8(crop) if wire == "uint8" else crop.astype(store_dtype)
+                )
         start_stage = 2
 
     if debug_dir is not None:
@@ -427,161 +443,186 @@ def generate_patch_set(
         data_size = 1
         wave_sharding = None
 
-    for stage in range(start_stage, num_stages + 1):
-        stage_size = cascade.config.stage(stage).image_size
-        lowres_needed = cascade.config.stage(stage).lowres_cond
-        # per-stage batch cap: measured on v5e, the 1024² stage saturates
-        # the chip at batch 1 (batch 2 is 1.37x SLOWER per patch and
-        # batch 4 fails to compile); batching only pays at <= 256²
-        stage_batch = max_wave_batch if stage_size <= 256 else max(data_size, 1)
-        for wi, wave in enumerate(waves):
-            for chunk_start in range(0, len(wave), stage_batch):
-                chunk = wave[chunk_start : chunk_start + stage_batch]
-                bsz = bucket_size(len(chunk))
-                if bsz % data_size:
-                    bsz = ((bsz + data_size - 1) // data_size) * data_size
+    try:
+        for stage in range(start_stage, num_stages + 1):
+            stage_size = cascade.config.stage(stage).image_size
+            lowres_needed = cascade.config.stage(stage).lowres_cond
+            # per-stage batch cap: measured on v5e, the 1024² stage saturates
+            # the chip at batch 1 (batch 2 is 1.37x SLOWER per patch and
+            # batch 4 fails to compile); batching only pays at <= 256²
+            stage_batch = max_wave_batch if stage_size <= 256 else max(data_size, 1)
+            for wi, wave in enumerate(waves):
+                for chunk_start in range(0, len(wave), stage_batch):
+                    chunk = wave[chunk_start : chunk_start + stage_batch]
+                    bsz = bucket_size(len(chunk))
+                    if bsz % data_size:
+                        bsz = ((bsz + data_size - 1) // data_size) * data_size
 
-                wire_u8 = wire == "uint8"
-                inp = msk = None
-                if resident:
-                    kwargs = engine.prep_chunk(
-                        chunk,
-                        stage_size,
-                        stores[stage],
-                        stores[stage - 1] if lowres_needed else None,
-                        bsz,
-                        need_cond=engine.mode is not None,
-                    )
-                    if "inpaint_images" in kwargs:
-                        kwargs["inpaint_resample_times"] = inpaint_resample_times
-                else:
-                    kwargs = {}
-                    if cond_by_pos is not None:
-                        conds = np.stack([cond_by_pos[p] for p in chunk]).astype(
-                            np.float32
-                        )
-                        if wire_u8:
-                            if conds.shape[1] > stage_size:
-                                conds = resize_nearest_batch(conds, stage_size)
-                            conds = to_wire_uint8(conds)
-                        kwargs["cond_images"] = _pad_to(conds, bsz)
-                    if lowres_needed:
-                        lr = np.stack([stores[stage - 1][p] for p in chunk])
-                        kwargs["lowres_image"] = _pad_to(
-                            lr if wire_u8 else lr.astype(np.float32), bsz
-                        )
-                    inp, msk = assemble_inpaint_strips(
-                        chunk, stores[stage], cond_by_pos, grid, stage_size, orientation
-                    )
-                    if inp is not None:
-                        kwargs["inpaint_images"] = _pad_to(
-                            to_wire_uint8(inp) if wire_u8 else inp, bsz
-                        )
-                        kwargs["inpaint_masks"] = _pad_to(
-                            msk.astype(np.uint8) if wire_u8 else msk, bsz
-                        )
-                        kwargs["inpaint_resample_times"] = inpaint_resample_times
-
-                if wave_sharding is not None:
-                    kwargs = {
-                        k: jax.device_put(jax.numpy.asarray(v), wave_sharding)
-                        if isinstance(v, np.ndarray)
-                        else v
-                        for k, v in kwargs.items()
-                    }
-
-                # per-stage step counts (int or sequence — expresses
-                # mixed serving points like dpmpp-25/25 + distilled
-                # ddim-4 on the 1024² stage); dpmpp wins per stage
-                ps = stage_sampler_steps(dpmpp_steps, stage)
-                ds = stage_sampler_steps(ddim_steps, stage)
-                if ps > 0:
-                    kwargs["dpmpp_steps"] = ps
-                elif ds > 0:
-                    kwargs["use_ddim"] = True
-                    kwargs["ddim_steps"] = ds
-                key, sk = jax.random.split(key)
-                if resident:
-                    outs = cascade.sample_stage(
-                        params_per_stage[stage - 1], stage, sk, batch_size=bsz,
-                        output_dtype="uint8", output_split=True, **kwargs
-                    )
-                    for k, pos in enumerate(chunk):
-                        stores[stage][pos] = outs[k]
-                        if stage == num_stages:
-                            engine.enqueue_final(pos, outs[k])
-                else:
-                    out = cascade.sample_stage(
-                        params_per_stage[stage - 1], stage, sk, batch_size=bsz,
-                        output_dtype="uint8" if wire_u8 else None, **kwargs
-                    )
-                    out = np.asarray(out)[: len(chunk)]
-                    if wire_u8:
-                        out = out.astype(np.float32) / 255.0
-                    out = out.astype(store_dtype)
-                    for k, pos in enumerate(chunk):
-                        stores[stage][pos] = out[k]
-
-                if debug_dir is not None:
+                    wire_u8 = wire == "uint8"
+                    inp = msk = None
                     if resident:
-                        out = np.stack(
-                            [np.asarray(stores[stage][p]) for p in chunk]
-                        ).astype(np.float32) / 255.0
-                        ri = kwargs.get("inpaint_images")
-                        inp = (
-                            np.asarray(ri).astype(np.float32)[: len(chunk)] / 255.0
-                            if ri is not None
-                            else None
+                        kwargs = engine.prep_chunk(
+                            chunk,
+                            stage_size,
+                            stores[stage],
+                            stores[stage - 1] if lowres_needed else None,
+                            bsz,
+                            need_cond=engine.mode is not None,
                         )
-                        rm = kwargs.get("inpaint_masks")
-                        msk = (
-                            np.asarray(rm).astype(np.float32)[: len(chunk)]
-                            if rm is not None
-                            else None
-                        )
-                        rc = kwargs.get("cond_images")
-                        cond_dump = (
-                            np.asarray(rc).astype(np.float32)[: len(chunk)] / 255.0
-                            if rc is not None
-                            else None
-                        )
+                        if "inpaint_images" in kwargs:
+                            kwargs["inpaint_resample_times"] = inpaint_resample_times
                     else:
-                        cond_dump = (
-                            np.stack([cond_by_pos[p] for p in chunk])
-                            if cond_by_pos is not None
-                            else None
-                        )
-                    for k, pos in enumerate(chunk):
-                        tag = f"s{stage}_w{wi}_{pos[0]}_{pos[1]}"
-                        save_image(out[k].astype(np.float32), f"{debug_dir}/{tag}_patch.png")
-                        if cond_dump is not None:
-                            save_image(cond_dump[k][..., :3], f"{debug_dir}/{tag}_cond.png")
-                        if inp is not None:
-                            save_image(inp[k], f"{debug_dir}/{tag}_inpaint.png")
-                            save_image(
-                                np.repeat(msk[k][..., None], 3, -1),
-                                f"{debug_dir}/{tag}_inpaint_mask.png",
+                        kwargs = {}
+                        if cond_by_pos is not None:
+                            conds = np.stack([cond_by_pos[p] for p in chunk]).astype(
+                                np.float32
                             )
-            if resident and stage == num_stages:
-                # final-stage device entries are dead once no later wave
-                # reads their strips (the fetcher holds its own handle
-                # until the download lands) — bounds device memory to a
-                # few waves even on full-slide patch sets
-                for pos in [
-                    p for p in stores[stage] if last_use.get(p, -1) <= wi
-                ]:
-                    del stores[stage][pos]
-            if progress:
-                done = sum(len(w) for w in waves[: wi + 1])
-                print(
-                    f"[gigapixel] stage {stage}: wave {wi + 1}/{len(waves)} "
-                    f"({done}/{len(patch_pos)} patches)",
-                    flush=True,
-                )
+                            if wire_u8:
+                                if conds.shape[1] > stage_size:
+                                    conds = resize_nearest_batch(conds, stage_size)
+                                conds = to_wire_uint8(conds)
+                            kwargs["cond_images"] = _pad_to(conds, bsz)
+                        if lowres_needed:
+                            lr = np.stack([stores[stage - 1][p] for p in chunk])
+                            kwargs["lowres_image"] = _pad_to(
+                                lr if wire_u8 else lr.astype(np.float32), bsz
+                            )
+                        inp, msk = assemble_inpaint_strips(
+                            chunk, stores[stage], cond_by_pos, grid, stage_size, orientation
+                        )
+                        if inp is not None:
+                            kwargs["inpaint_images"] = _pad_to(
+                                to_wire_uint8(inp) if wire_u8 else inp, bsz
+                            )
+                            kwargs["inpaint_masks"] = _pad_to(
+                                msk.astype(np.uint8) if wire_u8 else msk, bsz
+                            )
+                            kwargs["inpaint_resample_times"] = inpaint_resample_times
 
-    if resident:
-        return engine.finish()
-    return stores[num_stages]
+                    if wave_sharding is not None:
+                        kwargs = {
+                            k: jax.device_put(jax.numpy.asarray(v), wave_sharding)
+                            if isinstance(v, np.ndarray)
+                            else v
+                            for k, v in kwargs.items()
+                        }
+
+                    # per-stage step counts (int or sequence — expresses
+                    # mixed serving points like dpmpp-25/25 + distilled
+                    # ddim-4 on the 1024² stage); dpmpp wins per stage
+                    ps = stage_sampler_steps(dpmpp_steps, stage, num_stages)
+                    ds = stage_sampler_steps(ddim_steps, stage, num_stages)
+                    if ps > 0:
+                        kwargs["dpmpp_steps"] = ps
+                    elif ds > 0:
+                        kwargs["use_ddim"] = True
+                        kwargs["ddim_steps"] = ds
+                    key, sk = jax.random.split(key)
+                    if resident:
+                        outs = cascade.sample_stage(
+                            params_per_stage[stage - 1], stage, sk, batch_size=bsz,
+                            output_dtype="uint8", output_split=True, **kwargs
+                        )
+                        for k, pos in enumerate(chunk):
+                            stores[stage][pos] = outs[k]
+                            if stage == num_stages:
+                                engine.enqueue_final(pos, outs[k])
+                    else:
+                        out = cascade.sample_stage(
+                            params_per_stage[stage - 1], stage, sk, batch_size=bsz,
+                            output_dtype="uint8" if wire_u8 else None, **kwargs
+                        )
+                        out = np.asarray(out)[: len(chunk)]
+                        # uint8-wire stores stay uint8 between stages (exactly
+                        # the resident device store's values); fp32 wire keeps
+                        # the compact-float store
+                        if not wire_u8:
+                            out = out.astype(store_dtype)
+                        for k, pos in enumerate(chunk):
+                            stores[stage][pos] = out[k]
+
+                    if debug_dir is not None:
+                        if resident:
+                            out = np.stack(
+                                [np.asarray(stores[stage][p]) for p in chunk]
+                            ).astype(np.float32) / 255.0
+                            ri = kwargs.get("inpaint_images")
+                            inp = (
+                                np.asarray(ri).astype(np.float32)[: len(chunk)] / 255.0
+                                if ri is not None
+                                else None
+                            )
+                            rm = kwargs.get("inpaint_masks")
+                            msk = (
+                                np.asarray(rm).astype(np.float32)[: len(chunk)]
+                                if rm is not None
+                                else None
+                            )
+                            rc = kwargs.get("cond_images")
+                            cond_dump = (
+                                np.asarray(rc).astype(np.float32)[: len(chunk)] / 255.0
+                                if rc is not None
+                                else None
+                            )
+                        else:
+                            cond_dump = (
+                                np.stack([cond_by_pos[p] for p in chunk])
+                                if cond_by_pos is not None
+                                else None
+                            )
+                        for k, pos in enumerate(chunk):
+                            tag = f"s{stage}_w{wi}_{pos[0]}_{pos[1]}"
+                            patch_f = out[k].astype(np.float32)
+                            if out[k].dtype == np.uint8:
+                                patch_f /= 255.0
+                            save_image(patch_f, f"{debug_dir}/{tag}_patch.png")
+                            if cond_dump is not None:
+                                save_image(cond_dump[k][..., :3], f"{debug_dir}/{tag}_cond.png")
+                            if inp is not None:
+                                save_image(inp[k], f"{debug_dir}/{tag}_inpaint.png")
+                                save_image(
+                                    np.repeat(msk[k][..., None], 3, -1),
+                                    f"{debug_dir}/{tag}_inpaint_mask.png",
+                                )
+                if resident and stage == num_stages:
+                    # final-stage device entries are dead once no later wave
+                    # reads their strips (the fetcher holds its own handle
+                    # until the download lands) — bounds device memory to a
+                    # few waves even on full-slide patch sets
+                    for pos in [
+                        p for p in stores[stage] if last_use.get(p, -1) <= wi
+                    ]:
+                        del stores[stage][pos]
+                if progress:
+                    done = sum(len(w) for w in waves[: wi + 1])
+                    print(
+                        f"[gigapixel] stage {stage}: wave {wi + 1}/{len(waves)} "
+                        f"({done}/{len(patch_pos)} patches)",
+                        flush=True,
+                    )
+            # stage s was the last reader of stores[s-1]: it consumed them
+            # as lowres here, and stage s-1's own waves consumed them as
+            # strips. Freeing now bounds the intermediate-store footprint
+            # (device buffers in resident mode — ~1 GB of 256² patches on
+            # a full-slide set — host arrays otherwise) instead of keeping
+            # every level alive to the end of the run (ADVICE r3).
+            stores[stage - 1].clear()
+        if resident:
+            return engine.finish()
+        if wire == "uint8":
+            # stores held uint8 between stages; public contract is
+            # float store_dtype in [0, 1]
+            return {
+                p: (v.astype(np.float32) / 255.0).astype(store_dtype)
+                for p, v in stores[num_stages].items()
+            }
+        return stores[num_stages]
+    finally:
+        if engine is not None:
+            # no-op after a clean finish(); on the error path this stops
+            # the background fetcher so a failed level never leaks a
+            # daemon thread + queued device buffers (ADVICE r3)
+            engine.shutdown()
 
 
 def stitch_patches(

@@ -122,7 +122,6 @@ class ResidentEngine:
             self._pos_index = {pos: k for k, pos in enumerate(patch_pos or [])}
             self.mode = "stack"
 
-        self._prep_cache: Dict[tuple, object] = {}
         self._zeros_cache: Dict[int, jnp.ndarray] = {}
 
         self.final_host: Dict[Pos, np.ndarray] = {}
@@ -155,11 +154,25 @@ class ResidentEngine:
     def finish(self) -> Dict[Pos, np.ndarray]:
         """Drain the fetcher and return the host-side final patches."""
         self._q.join()
-        self._q.put(None)
-        self._fetcher.join()
+        self.shutdown()
         if self._fetch_errors:
             raise self._fetch_errors[0]
         return self.final_host
+
+    def shutdown(self) -> None:
+        """Stop the fetcher thread without raising. Idempotent — the
+        error-path cleanup (generate_patch_set's finally) so a failed
+        level never leaks a daemon thread + its queued device buffers
+        into a long-lived serving process."""
+        if self._fetcher.is_alive():
+            self._q.put(None)
+            self._fetcher.join()
+
+    def __enter__(self) -> "ResidentEngine":
+        return self
+
+    def __exit__(self, *exc) -> None:
+        self.shutdown()
 
     # ------------------------------------------------------------------
     # device-side helpers
@@ -368,6 +381,10 @@ def _prep_program(
                     centers = conds[:, y0 : y0 + pw, y0 : y0 + pw, :]
                     yi = _nearest_idx(ps, pw)
                     centers = centers[:, yi][:, :, yi]
+                    # center channels are slices of the ROUND-quantized
+                    # canvas — identical to the host serving path, which
+                    # round-quantizes its center channels too
+                    # (get_cond_images; ADVICE r3 round-vs-trunc fix)
                     conds = jnp.concatenate([conds, centers], axis=-1)
             else:
                 # the stack was materialized with the center channels

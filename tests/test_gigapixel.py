@@ -590,6 +590,92 @@ def test_resident_ignore_stage_1_and_sparse_set():
         )
 
 
+def test_resident_center_cond_matches_host():
+    """v2's 6-channel center_cond through the resident canvas path is
+    bit-identical to the host wire for an ARBITRARY float canvas: both
+    paths round-quantize the center channels (ADVICE r3 — the host used
+    the training dataset's truncating cast, deviating up to 1/255)."""
+    from kidney_diffusion_tpu.sample.gigapixel import get_cond_images, to_wire_uint8
+    from kidney_diffusion_tpu.sample.resident import ResidentEngine
+
+    # values straddling the round-vs-trunc boundary (frac(x*255) >= 0.5)
+    zoomed = np.random.default_rng(7).uniform(size=(64, 64, 3)).astype(np.float32)
+    conds, patch_pos, grid = get_cond_images(
+        zoomed, 1, overlap=0.25, mag_sizes=(256, 128, 32), patch_size=32,
+        center_cond=True,
+    )
+    assert conds.shape[-1] == 6
+    with ResidentEngine(
+        patch_size=32, grid=grid, orientation=-1, canvas=zoomed,
+        fill=0.95, center_cond=True,
+    ) as engine:
+        for k, pos in enumerate(patch_pos):
+            kw = engine.prep_chunk([pos], 16, {}, None, 1, need_cond=True)
+            got = np.asarray(kw["cond_images"])[0]
+            np.testing.assert_array_equal(got, to_wire_uint8(conds[k]))
+
+
+def test_resident_engine_shutdown_on_error():
+    """A failure mid-level must not leak the background fetcher thread:
+    generate_patch_set's finally (and the context manager) stop it."""
+    import threading
+
+    from kidney_diffusion_tpu.sample.gigapixel import generate_patch_set
+    from kidney_diffusion_tpu.sample.resident import ResidentEngine
+
+    before = threading.active_count()
+    grid = GridSpec(patch_width=16, patch_dist=12, num_patches_width=2, overlap=0.25)
+    with ResidentEngine(
+        patch_size=32, grid=grid, orientation=-1,
+        canvas=np.zeros((40, 40, 3), np.float32),
+    ) as engine:
+        assert threading.active_count() == before + 1
+    assert threading.active_count() == before
+    engine.shutdown()  # idempotent
+
+    cas, params, zoomed = _tiny_cond_setup()
+    bad_params = [None, None]  # sampling raises inside the stage loop
+    with pytest.raises(Exception):
+        generate_patch_set(
+            cas, bad_params, jax.random.PRNGKey(0),
+            patch_pos=[(0, 0)], grid=grid, cond_images=None,
+            wire="resident", zoomed_image=zoomed, progress=False,
+        )
+    assert threading.active_count() == before  # fetcher joined
+
+
+def test_uint8_wire_intermediate_stores_are_uint8_and_cleared(monkeypatch):
+    """ADVICE r3: (a) the host uint8-wire path stores uint8 between
+    stages — the inter-stage lowres is genuinely identical to the
+    resident device store, making the resident bit-equality tests exact
+    rather than empirically lucky; (b) intermediate-stage stores are
+    freed once the next stage has consumed them."""
+    from kidney_diffusion_tpu.sample import gigapixel as gp
+
+    cas, params, zoomed = _tiny_cond_setup()
+    cond_images, patch_pos, grid = get_cond_images(
+        zoomed, 1, overlap=0.25, mag_sizes=(256, 128, 32), patch_size=32
+    )
+    seen = {}
+    orig = gp.Cascade.sample_stage
+
+    def spy(self, p, stage, key, **kw):
+        lr = kw.get("lowres_image")
+        if lr is not None:
+            seen[stage] = np.asarray(lr).dtype
+        return orig(self, p, stage, key, **kw)
+
+    monkeypatch.setattr(gp.Cascade, "sample_stage", spy)
+    out = gp.generate_patch_set(
+        cas, params, jax.random.PRNGKey(0), patch_pos=patch_pos, grid=grid,
+        cond_images=cond_images, wire="uint8", progress=False,
+    )
+    assert seen[2] == np.uint8  # stage-2 lowres came from a uint8 store
+    for pos in patch_pos:  # public contract: float [0,1]
+        assert out[pos].dtype == np.float16
+        assert 0.0 <= float(out[pos].min()) and float(out[pos].max()) <= 1.0
+
+
 def test_resident_stack_mode_matches_canvas_mode():
     """Direct callers that pass materialized cond images (no canvas) get
     the uploaded-stack variant; it must equal canvas slicing."""
