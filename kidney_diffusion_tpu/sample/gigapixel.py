@@ -366,16 +366,18 @@ def generate_patch_set(
     on-device; only finished final-stage patches return to host, via a
     background fetcher that overlaps the download with compute. When no
     canvas is passed, the materialized `cond_images` stack is uploaded
-    once instead; outpainting (no conditioning) needs neither. Falls
-    back to "uint8" under `mesh` (SPMD wave sharding keeps the host
-    transport for now).
+    once instead; outpainting (no conditioning) needs neither.
+
+    resident composes with `mesh`: conditioning is assembled on-device,
+    resharded onto the wave batch sharding (an XLA device-to-device
+    scatter — on real multi-chip hardware this traffic rides ICI, never
+    the host link), and finished pixels stay on the mesh's devices until
+    the fetcher pulls the final stage. The TPU answer to the reference's
+    one-process-per-GPU pool (/root/reference/sample_ultra_res.py:213-249)
+    with no per-patch host staging (:202).
 
     Returns pos -> final-stage patch (stage_size², float16 [0,1]).
     """
-    if wire == "resident" and mesh is not None:
-        if progress:
-            print("[gigapixel] resident wire unsupported with mesh; using uint8")
-        wire = "uint8"
     resident = wire == "resident"
     num_stages = cascade.config.num_stages
     orientation = choose_orientation(patch_pos)
@@ -500,9 +502,12 @@ def generate_patch_set(
                             kwargs["inpaint_resample_times"] = inpaint_resample_times
 
                     if wave_sharding is not None:
+                        # host arrays (uint8/fp32 wire) upload sharded; the
+                        # resident prep outputs reshard device-to-device
+                        # (ICI on real multi-chip hardware, never the host)
                         kwargs = {
                             k: jax.device_put(jax.numpy.asarray(v), wave_sharding)
-                            if isinstance(v, np.ndarray)
+                            if isinstance(v, (np.ndarray, jax.Array))
                             else v
                             for k, v in kwargs.items()
                         }
@@ -705,7 +710,7 @@ def generate_high_res_image(
     sample_ultra_res_demo.py:117); `all_patches` disables the mag-2
     tissue filter (see get_cond_images)."""
     patch_size = cascade.config.stages[-1].image_size
-    resident = wire == "resident" and mesh is None
+    resident = wire == "resident"
     cond_images, patch_pos, grid = get_cond_images(
         zoomed_image,
         mag_level,
