@@ -224,7 +224,9 @@ def main():
     )
     try:
         with open(details_path) as f:
-            derived = json.load(f).get("distilled_s3ddim4_serving_patches_per_sec")
+            d = json.load(f)
+        block = d.get("quant_serving_default", d)  # split-by-path layout
+        derived = block.get("distilled_s3ddim4_serving_patches_per_sec")
     except OSError:
         derived = None
     if args.smoke:

@@ -43,6 +43,9 @@ def main():
     ap.add_argument("--lr", type=float, default=1e-4)
     ap.add_argument("--cpu", action="store_true")
     ap.add_argument("--smoke", action="store_true")
+    ap.add_argument("--inception_weights", default=None,
+                    help="real pool3 .npz (tools/convert_fid_weights.py); "
+                         "default: per-run synthetic weights (relative FID)")
     args = ap.parse_args()
 
     if args.cpu:
@@ -98,10 +101,12 @@ def main():
     for i, img in enumerate(reals):
         save_image(img, os.path.join(real_dir, f"{i:04d}.png"))
 
-    from tests.inception_ref import flax_torch_shapes, synthetic_state_dict
+    weights = args.inception_weights
+    if weights is None:
+        from tests.inception_ref import flax_torch_shapes, synthetic_state_dict
 
-    weights = os.path.join(args.out, "inception_synthetic.npz")
-    np.savez(weights, **synthetic_state_dict(flax_torch_shapes()))
+        weights = os.path.join(args.out, "inception_synthetic.npz")
+        np.savez(weights, **synthetic_state_dict(flax_torch_shapes()))
     feature_fn = default_feature_fn(weights)
 
     # ---- A/B sampling + FID ----------------------------------------------
@@ -110,6 +115,7 @@ def main():
         "sample_steps": args.sample_steps,
         "model": "ultra_res(0, v_param) stage 3",
         "quant": args.quant, "storage": args.storage,
+        "inception_weights": args.inception_weights or "synthetic",
     }
     modes = (
         ("bf16", None, None),
