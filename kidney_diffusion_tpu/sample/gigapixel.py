@@ -309,6 +309,23 @@ def assemble_inpaint_strips(
 # ---------------------------------------------------------------------------
 
 
+def _stage_batch(
+    stage_size: int,
+    max_wave_batch: int,
+    final_stage_batch: Optional[int],
+    data_size: int,
+) -> int:
+    """Wave-chunk batch cap for one stage. <=256² stages amortize weight
+    streaming across the wave (max_wave_batch, round-3 sweep: saturated
+    by 16, default 32). Larger stages default to 1 per device — the pure
+    chip-throughput optimum (batch 2 measured 1.37x slower per patch) —
+    unless `final_stage_batch` raises it to trade compute for DISPATCH
+    COUNT over a high-latency host link (artifacts/r4_gigapixel_wall)."""
+    if stage_size <= 256:
+        return max_wave_batch
+    return max(final_stage_batch or 1, data_size, 1)
+
+
 def _pad_to(arr: np.ndarray, b: int) -> np.ndarray:
     if arr.shape[0] == b:
         return arr
@@ -337,9 +354,17 @@ def generate_patch_set(
     zoomed_image: Optional[np.ndarray] = None,
     fill: float = 0.95,
     center_cond: bool = False,
+    final_stage_batch: Optional[int] = None,
 ) -> Dict[Pos, np.ndarray]:
     """Generate all patches of one magnification level through the full
     cascade, wave by wave, batched.
+
+    `final_stage_batch`: wave-batch cap for the >256² final stage
+    (default 1 per device — the chip-throughput optimum; batch 2 is
+    1.37x slower per patch in pure compute). Raising it trades compute
+    for DISPATCHES: over a high-latency host link (the axon tunnel,
+    ~0.2 s per call) the end-to-end wall-clock optimum is larger —
+    measured in artifacts/r4_gigapixel_wall.
 
     `mesh`: shard each wave batch over the mesh "data" axis (SPMD
     multi-chip inference — the TPU replacement for the reference's
@@ -452,7 +477,9 @@ def generate_patch_set(
             # per-stage batch cap: measured on v5e, the 1024² stage saturates
             # the chip at batch 1 (batch 2 is 1.37x SLOWER per patch and
             # batch 4 fails to compile); batching only pays at <= 256²
-            stage_batch = max_wave_batch if stage_size <= 256 else max(data_size, 1)
+            stage_batch = _stage_batch(
+                stage_size, max_wave_batch, final_stage_batch, data_size
+            )
             for wi, wave in enumerate(waves):
                 for chunk_start in range(0, len(wave), stage_batch):
                     chunk = wave[chunk_start : chunk_start + stage_batch]
@@ -700,6 +727,7 @@ def generate_high_res_image(
     dpmpp_steps: int = 0,
     all_patches: bool = False,
     wire: Optional[str] = "uint8",
+    final_stage_batch: Optional[int] = None,
 ) -> np.ndarray:
     """One magnification refinement: coarse (H, W, 3) [0,1] -> finer
     uint8 canvas (the reference's generate_high_res_image,
@@ -752,6 +780,7 @@ def generate_high_res_image(
         zoomed_image=zoomed_image if resident else None,
         fill=0.0 if airs else 0.95,
         center_cond=center_cond,
+        final_stage_batch=final_stage_batch,
     )
     return stitch_patches(
         zoomed_image,

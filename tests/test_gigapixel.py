@@ -745,6 +745,22 @@ def test_resident_mesh_general_grid_matches_uint8_mesh():
     np.testing.assert_array_equal(a, b)
 
 
+def test_final_stage_batch_knob():
+    """final_stage_batch raises the >256² stage's wave-chunk cap (the
+    dispatch-vs-compute trade for high-latency host links) and must not
+    touch <=256² stages or undercut the mesh data size."""
+    from kidney_diffusion_tpu.sample.gigapixel import _stage_batch
+
+    # small stages always follow max_wave_batch
+    assert _stage_batch(64, 32, None, 1) == 32
+    assert _stage_batch(256, 32, 4, 1) == 32
+    # big stages: default 1/device, knob raises, mesh floor respected
+    assert _stage_batch(1024, 32, None, 1) == 1
+    assert _stage_batch(1024, 32, 2, 1) == 2
+    assert _stage_batch(1024, 32, None, 4) == 4
+    assert _stage_batch(1024, 32, 2, 4) == 4
+
+
 def test_last_use_waves_accounting():
     """Eviction bookkeeping: a dependency is kept through the wave of its
     LAST consumer, not a fixed window (irregular sets can consume a

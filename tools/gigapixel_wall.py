@@ -92,6 +92,9 @@ def main():
     p.add_argument("--wire", type=str, default="resident",
                    choices=["resident", "uint8", "fp32"])
     p.add_argument("--storage", type=str, default="float8_e4m3fn")
+    p.add_argument("--s3_batch", type=int, default=1,
+                   help="final-stage wave batch (dispatch-vs-compute "
+                        "trade over the tunnel; see final_stage_batch)")
     p.add_argument("--smoke", action="store_true",
                    help="CPU plumbing check: tiny cascades, tiny pyramid")
     args = p.parse_args()
@@ -128,6 +131,7 @@ def main():
             "inpaint_resample": args.inpaint_resample,
             "max_wave_batch": args.max_wave_batch,
             "wire": args.wire,
+            "s3_batch": args.s3_batch,
         },
         "levels": {},
     }
@@ -202,6 +206,7 @@ def main():
             dpmpp_steps=args.dpmpp_steps, ddim_steps=args.ddim_steps,
             all_patches=True,
             wire=None if args.wire == "fp32" else args.wire,
+            final_stage_batch=args.s3_batch,
         )
         dt = time.perf_counter() - t0
         metrics["levels"][f"mag2_{label}"] = {
