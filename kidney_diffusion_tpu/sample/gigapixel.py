@@ -403,7 +403,19 @@ def generate_patch_set(
 
     Returns pos -> final-stage patch (stage_size², float16 [0,1]).
     """
+    import os as _os
+
     resident = wire == "resident"
+    # fused prep+sampling (one dispatch per chunk): single-device
+    # resident serving only — the mesh path keeps the explicit prep ->
+    # reshard -> sample pipeline, and debug mode wants the prep
+    # intermediates materialized for dumping
+    fused = (
+        resident
+        and mesh is None
+        and debug_dir is None
+        and _os.environ.get("KDT_RESIDENT_FUSED", "1") != "0"
+    )
     num_stages = cascade.config.num_stages
     orientation = choose_orientation(patch_pos)
     waves = plan_waves(patch_pos, orientation)
@@ -489,6 +501,37 @@ def generate_patch_set(
 
                     wire_u8 = wire == "uint8"
                     inp = msk = None
+                    # per-stage step counts (int or sequence — expresses
+                    # mixed serving points like dpmpp-25/25 + distilled
+                    # ddim-4 on the 1024² stage); dpmpp wins per stage
+                    pstep = stage_sampler_steps(dpmpp_steps, stage, num_stages)
+                    dstep = stage_sampler_steps(ddim_steps, stage, num_stages)
+                    if fused and resident:
+                        # ONE dispatch per chunk: prep + sampling fused
+                        # into a single program (PERF.md round 4 — per-
+                        # dispatch tunnel cost dominated the e2e wall)
+                        key, sk = jax.random.split(key)
+                        outs = engine.sample_chunk(
+                            cascade,
+                            params_per_stage[stage - 1],
+                            stage,
+                            sk,
+                            chunk,
+                            stage_size,
+                            stores[stage],
+                            stores[stage - 1] if lowres_needed else None,
+                            bsz,
+                            need_cond=engine.mode is not None,
+                            inpaint_resample_times=inpaint_resample_times,
+                            use_ddim=pstep == 0 and dstep > 0,
+                            ddim_steps=dstep,
+                            dpmpp_steps=pstep,
+                        )
+                        for k, pos in enumerate(chunk):
+                            stores[stage][pos] = outs[k]
+                            if stage == num_stages:
+                                engine.enqueue_final(pos, outs[k])
+                        continue
                     if resident:
                         kwargs = engine.prep_chunk(
                             chunk,
@@ -539,16 +582,11 @@ def generate_patch_set(
                             for k, v in kwargs.items()
                         }
 
-                    # per-stage step counts (int or sequence — expresses
-                    # mixed serving points like dpmpp-25/25 + distilled
-                    # ddim-4 on the 1024² stage); dpmpp wins per stage
-                    ps = stage_sampler_steps(dpmpp_steps, stage, num_stages)
-                    ds = stage_sampler_steps(ddim_steps, stage, num_stages)
-                    if ps > 0:
-                        kwargs["dpmpp_steps"] = ps
-                    elif ds > 0:
+                    if pstep > 0:
+                        kwargs["dpmpp_steps"] = pstep
+                    elif dstep > 0:
                         kwargs["use_ddim"] = True
-                        kwargs["ddim_steps"] = ds
+                        kwargs["ddim_steps"] = dstep
                     key, sk = jax.random.split(key)
                     if resident:
                         outs = cascade.sample_stage(

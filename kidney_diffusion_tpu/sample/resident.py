@@ -215,22 +215,19 @@ class ResidentEngine:
     # per-chunk conditioning assembly (one dispatch)
     # ------------------------------------------------------------------
 
-    def prep_chunk(
+    def _assemble_chunk(
         self,
         chunk: Sequence[Pos],
         stage_size: int,
         stores_stage: Dict[Pos, object],
         lowres_store: Optional[Dict[Pos, object]],
         bsz: int,
-        *,
         need_cond: bool,
-    ) -> dict:
-        """Build sample_stage kwargs (device arrays) for one wave chunk.
-
-        All small per-chunk integers (crop starts, neighbour kinds,
-        coarse-fallback coords) travel in ONE packed (B, 12) int32 array
-        — over the tunnel, per-transfer latency on tiny arrays costs
-        more than their bytes."""
+    ):
+        """Host-side packing for one wave chunk: the (B, 12) int32 meta
+        array (crop starts, neighbour kinds, coarse-fallback coords — one
+        upload; per-transfer latency on tiny arrays costs more than their
+        bytes), neighbour-strip device handles, and lowres handles."""
         g = self.grid
         ov = int(g.overlap * stage_size)
         n = g.num_patches_width
@@ -287,18 +284,39 @@ class ResidentEngine:
                 slot_arrs[s].append(slot_arrs[s][len(chunk) - 1])
             if lr_arrs:
                 lr_arrs.append(lr_arrs[-1])
+        return meta, slot_arrs, lr_arrs, any_strip
 
-        fn = _prep_program(
+    def _prep_statics(self, any_strip: bool, need_cond: bool, has_lr: bool):
+        return (
             self.ps,
-            g.patch_width,
-            float(g.overlap),
-            ori,
+            self.grid.patch_width,
+            float(self.grid.overlap),
+            self.orientation,
             self.mode,
             bool(need_cond),
-            bool(lr_arrs),
-            any_strip,
+            bool(has_lr),
+            bool(any_strip),
             self.center_cond,
         )
+
+    def prep_chunk(
+        self,
+        chunk: Sequence[Pos],
+        stage_size: int,
+        stores_stage: Dict[Pos, object],
+        lowres_store: Optional[Dict[Pos, object]],
+        bsz: int,
+        *,
+        need_cond: bool,
+    ) -> dict:
+        """Build sample_stage kwargs (device arrays) for one wave chunk
+        — ONE prep dispatch, followed by the caller's sampling dispatch.
+        (The fused path below folds both into one program; this entry
+        stays for the mesh path and for direct parity tests.)"""
+        meta, slot_arrs, lr_arrs, any_strip = self._assemble_chunk(
+            chunk, stage_size, stores_stage, lowres_store, bsz, need_cond
+        )
+        fn = _prep_program(*self._prep_statics(any_strip, need_cond, bool(lr_arrs)))
         src = self.P if self.mode == "canvas" else self.stack
         out = fn(
             src,
@@ -315,6 +333,82 @@ class ResidentEngine:
             kwargs["inpaint_images"] = out["inpaint"]
             kwargs["inpaint_masks"] = out["masks"]
         return kwargs
+
+    def sample_chunk(
+        self,
+        cascade,
+        params,
+        stage: int,
+        key,
+        chunk: Sequence[Pos],
+        stage_size: int,
+        stores_stage: Dict[Pos, object],
+        lowres_store: Optional[Dict[Pos, object]],
+        bsz: int,
+        *,
+        need_cond: bool,
+        inpaint_resample_times: int = 1,
+        use_ddim: bool = False,
+        ddim_steps: int = 0,
+        dpmpp_steps: int = 0,
+    ) -> tuple:
+        """FUSED conditioning-prep + stage sampling: one dispatch per
+        chunk. On the attached-tunnel topology each dispatch costs
+        ~0.2 s regardless of size (PERF.md round 4: ~350 dispatches were
+        ~70 s of the 112 s mag-2 wall) — folding the prep program into
+        the sampling program halves the per-chunk dispatch count with
+        zero compute penalty. Numerically identical to
+        prep_chunk + Cascade.sample_stage: the fused program contains
+        exactly the same ops feeding the same impl with the same key
+        (pinned by test_resident_fused_equals_unfused)."""
+        meta, slot_arrs, lr_arrs, any_strip = self._assemble_chunk(
+            chunk, stage_size, stores_stage, lowres_store, bsz, need_cond
+        )
+        statics = self._prep_statics(any_strip, need_cond, bool(lr_arrs))
+        resample = inpaint_resample_times if any_strip else 1
+        fused_key = (
+            "resident_fused", stage, bsz, stage_size, statics,
+            resample, use_ddim, ddim_steps, dpmpp_steps,
+        )
+        cache = cascade.__dict__.setdefault("_resident_fused_cache", {})
+        if fused_key not in cache:
+            prep_fn = _make_prep_fn(*statics)
+            kw_names = []
+            if need_cond:
+                kw_names.append(("cond", "cond_images"))
+            if lr_arrs:
+                kw_names.append(("lowres", "lowres_image"))
+            if any_strip:
+                kw_names.append(("inpaint", "inpaint_images"))
+                kw_names.append(("masks", "inpaint_masks"))
+
+            def fused(params, key, src, meta, slots, lr_list):
+                out = prep_fn(src, meta, slots, lr_list)
+                kwargs = {dst: out[k] for k, dst in kw_names}
+                res = cascade._sample_stage_impl(
+                    params,
+                    stage,
+                    key,
+                    batch_size=bsz,
+                    inpaint_resample_times=resample,
+                    use_ddim=use_ddim,
+                    ddim_steps=ddim_steps,
+                    dpmpp_steps=dpmpp_steps,
+                    output_dtype="uint8",
+                    **kwargs,
+                )
+                return tuple(res[k] for k in range(bsz))
+
+            cache[fused_key] = jax.jit(fused)
+        src = self.P if self.mode == "canvas" else self.stack
+        return cache[fused_key](
+            params,
+            key,
+            src,
+            meta,
+            tuple(tuple(s) for s in slot_arrs) if any_strip else (),
+            tuple(lr_arrs),
+        )
 
 
 # ---------------------------------------------------------------------------
@@ -348,8 +442,7 @@ def _seed_program(mode: Optional[str], ps: int, pw: int):
     return jax.jit(fn)
 
 
-@functools.lru_cache(maxsize=None)
-def _prep_program(
+def _make_prep_fn(
     ps: int,
     pw: int,
     overlap: float,
@@ -462,4 +555,9 @@ def _prep_program(
             out["masks"] = masks
         return out
 
-    return jax.jit(fn)
+    return fn
+
+
+@functools.lru_cache(maxsize=None)
+def _prep_program(*statics):
+    return jax.jit(_make_prep_fn(*statics))

@@ -698,6 +698,31 @@ def test_resident_stack_mode_matches_canvas_mode():
         np.testing.assert_array_equal(np.asarray(a[pos]), np.asarray(b[pos]))
 
 
+def test_resident_fused_equals_unfused(monkeypatch):
+    """The fused prep+sampling program (one dispatch per chunk, the
+    round-4 dispatch-count fix) is bit-identical to the two-dispatch
+    path: same ops, same impl, same RNG key schedule."""
+    from kidney_diffusion_tpu.sample.gigapixel import generate_patch_set, get_cond_images
+
+    cas, params, zoomed = _tiny_cond_setup()
+    _, patch_pos, grid = get_cond_images(
+        zoomed, 1, overlap=0.25, mag_sizes=(256, 128, 32), patch_size=32,
+        materialize=False,
+    )
+    common = dict(
+        patch_pos=patch_pos, grid=grid, cond_images=None,
+        wire="resident", zoomed_image=zoomed, progress=False,
+        inpaint_resample_times=2,
+    )
+    monkeypatch.setenv("KDT_RESIDENT_FUSED", "0")
+    a = generate_patch_set(cas, params, jax.random.PRNGKey(12), **common)
+    monkeypatch.setenv("KDT_RESIDENT_FUSED", "1")
+    b = generate_patch_set(cas, params, jax.random.PRNGKey(12), **common)
+    assert set(a) == set(b)
+    for pos in patch_pos:
+        np.testing.assert_array_equal(np.asarray(a[pos]), np.asarray(b[pos]))
+
+
 def test_resident_mesh_bit_equal_to_single_device():
     """Resident transport composes with SPMD wave sharding (r3 verdict
     Missing #3 — the old code silently downgraded to the uint8 host wire
