@@ -179,8 +179,23 @@ def main():
     # ---- data -------------------------------------------------------------
     n_total = args.train_items + args.fid_patches
     patch_px = 64 if args.smoke else 400
-    if not os.path.exists(os.path.join(args.data, "Supplementary")):
+    # regenerate unless an existing fixture matches THIS run's geometry —
+    # a stale smoke-size fixture silently upscaling 64² patches to 256²
+    # would invalidate the benchmark (cost one aborted on-chip run, r4)
+    marker = os.path.join(args.data, "fixture.json")
+    want = {"n": n_total, "size": patch_px}
+    have = None
+    if os.path.exists(marker):
+        with open(marker) as f:
+            have = json.load(f)
+    if have != want:
+        import shutil
+
+        if os.path.isdir(args.data):
+            shutil.rmtree(args.data)
         write_kumar_fixture(args.data, n_total, size=patch_px)
+        with open(marker, "w") as f:
+            json.dump(want, f)
     ds = KumarDataset(args.data, patch_size=32 if args.smoke else 256)
     per_item = len(ds) // n_total  # index-encoded augmentation factor
 
