@@ -218,15 +218,31 @@ def main():
     np.savez(weights, **synthetic_state_dict(flax_torch_shapes()))
     feature_fn = default_feature_fn(weights)
 
+    # device-staged batch pool: a fresh numpy batch re-uploads ~19 MB
+    # through the tunnel EVERY step (measured 1.45 s/step upload-bound on
+    # the first r4 run); 24 staged batches cycle on-device instead
+    _pools = {}
+
     def batch_for(brng, bsz):
-        idx = brng.integers(0, args.train_items, bsz)
-        return {
-            "images": jax.device_put(np.stack([train_imgs[i] for i in idx])),
-            "cond_images": jax.device_put(np.stack([train_lms[i] for i in idx])),
-            "text_embeds": jax.device_put(
-                np.stack([train_meta[i] for i in idx])[:, None, :]
-            ),
-        }
+        if bsz not in _pools:
+            pool = []
+            for _ in range(24):
+                idx = brng.integers(0, args.train_items, bsz)
+                pool.append({
+                    "images": jax.device_put(
+                        np.stack([train_imgs[i] for i in idx])
+                    ),
+                    "cond_images": jax.device_put(
+                        np.stack([train_lms[i] for i in idx])
+                    ),
+                    "text_embeds": jax.device_put(
+                        np.stack([train_meta[i] for i in idx])[:, None, :]
+                    ),
+                })
+            _pools[bsz] = [pool, 0]
+        pool, k = _pools[bsz]
+        _pools[bsz][1] = k + 1
+        return pool[k % len(pool)]
 
     params_by_stage = {}
 

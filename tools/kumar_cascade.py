@@ -201,17 +201,33 @@ def main():
 
     cascade = build_cascade(args.smoke)
 
+    # device-staged batch pool (CLAUDE.md: per-call numpy batches pay a
+    # ~13 MB tunnel upload per step); stage_loss resizes images/conds to
+    # each stage's size in-model (the reference feeds every unet the
+    # same 256² loader output too). Indices restricted to TRAIN items.
+    _pools = {}
+
     def batch_for(rng, bsz):
-        # augmented indices restricted to the TRAIN items; stage_loss
-        # resizes images/conds to each stage's size in-model (the
-        # reference feeds every unet the same 256² loader output too)
-        idx = rng.integers(0, args.train_items * per_item, bsz)
-        items = [ds[int(i)] for i in idx]
-        return {
-            "images": jax.device_put(np.stack([p for p, _, _ in items])),
-            "text_embeds": jax.device_put(np.stack([c for _, c, _ in items])),
-            "cond_images": jax.device_put(np.stack([m for _, _, m in items])),
-        }
+        if bsz not in _pools:
+            pool = []
+            for _ in range(24):
+                idx = rng.integers(0, args.train_items * per_item, bsz)
+                items = [ds[int(i)] for i in idx]
+                pool.append({
+                    "images": jax.device_put(
+                        np.stack([p for p, _, _ in items])
+                    ),
+                    "text_embeds": jax.device_put(
+                        np.stack([c for _, c, _ in items])
+                    ),
+                    "cond_images": jax.device_put(
+                        np.stack([m for _, _, m in items])
+                    ),
+                })
+            _pools[bsz] = [pool, 0]
+        pool, k = _pools[bsz]
+        _pools[bsz][1] = k + 1
+        return pool[k % len(pool)]
 
     # ---- held-out reals + conditioning for FID ----------------------------
     held = []
