@@ -16,6 +16,7 @@ import pytest
 from kidney_diffusion_tpu.utils.compile_cache import (
     default_cache_dir,
     enable_compilation_cache,
+    host_fingerprint,
 )
 
 
@@ -46,9 +47,39 @@ def test_disabled_by_env(restore_cache_config, tmp_path):
 def test_env_var_supplies_directory(restore_cache_config, tmp_path):
     target = str(tmp_path / "from_env")
     os.environ["KDT_COMPILE_CACHE"] = target
-    assert enable_compilation_cache() == target
-    assert os.path.isdir(target)
-    assert jax.config.jax_compilation_cache_dir == target
+    # the per-host fingerprint is appended even to explicit base dirs:
+    # XLA:CPU cache entries are host-machine-code and must never be
+    # shared across machines (MULTICHIP_r04 failure mode)
+    expect = os.path.join(target, host_fingerprint())
+    assert enable_compilation_cache() == expect
+    assert os.path.isdir(expect)
+    assert jax.config.jax_compilation_cache_dir == expect
+
+
+def test_host_fingerprint_covers_cpu_features(monkeypatch):
+    """The fingerprint must move when the host CPU feature set moves —
+    that delta is exactly what poisoned the round-4 driver run."""
+    base = host_fingerprint()
+    assert len(base) == 16 and base == host_fingerprint()  # stable
+    import kidney_diffusion_tpu.utils.compile_cache as cc_mod
+
+    real_open = open
+
+    def fake_open(path, *a, **k):
+        if path == "/proc/cpuinfo":
+            import io
+
+            return io.StringIO("flags\t\t: fpu sse sse2 someother\n")
+        return real_open(path, *a, **k)
+
+    monkeypatch.setattr("builtins.open", fake_open)
+    cc_mod.host_fingerprint.cache_clear()
+    try:
+        assert cc_mod.host_fingerprint() != base
+    finally:
+        monkeypatch.undo()
+        cc_mod.host_fingerprint.cache_clear()
+        assert cc_mod.host_fingerprint() == base
 
 
 def test_default_dir_used(restore_cache_config, tmp_path, monkeypatch):
@@ -83,4 +114,6 @@ def test_cli_package_import_enables_cache(restore_cache_config, tmp_path):
     import kidney_diffusion_tpu.cli as cli
 
     importlib.reload(cli)
-    assert jax.config.jax_compilation_cache_dir == target
+    assert jax.config.jax_compilation_cache_dir == os.path.join(
+        target, host_fingerprint()
+    )
