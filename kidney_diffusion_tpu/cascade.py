@@ -55,7 +55,9 @@ def resize_image_to(x: Array, size: int, method: str = "nearest") -> Array:
     return jax.image.resize(x, (b, size, size, c), method=method)
 
 
-def stage_sampler_steps(val, unet_number: int, num_stages: int = None) -> int:
+def stage_sampler_steps(
+    val, unet_number: int, num_stages: Optional[int] = None
+) -> int:
     """Resolve a per-stage sampler step count.
 
     `ddim_steps` / `dpmpp_steps` accept either an int / 1-sequence

@@ -16,7 +16,9 @@ from ..data.pipeline import train_valid_split
 from ..models.configs import kumar
 from ..train import Trainer
 from .train_loop import (
+    add_device_pool_args,
     add_distributed_args,
+    device_pool_kwargs,
     default_sample_fn,
     run_training,
     setup_distributed,
@@ -42,6 +44,7 @@ def parse_args():
                         "before training (headless equivalent of "
                         "train_kumar.py:107-113's matplotlib loop)")
     add_distributed_args(p)
+    add_device_pool_args(p)
     return p.parse_args()
 
 
@@ -74,11 +77,11 @@ def main():
         print(f"wrote {min(args.preview, len(train_ds))} previews to previews/")
     trainer.add_train_dataset(
         train_ds, batch_size=args.batch_size, num_workers=args.num_workers,
-        keywords=keywords, shard_by_process=multihost,
+        keywords=keywords, shard_by_process=multihost, **device_pool_kwargs(args),
     )
     trainer.add_valid_dataset(
         valid_ds, batch_size=args.batch_size, num_workers=args.num_workers,
-        keywords=keywords, shard_by_process=multihost,
+        keywords=keywords, shard_by_process=multihost, **device_pool_kwargs(args),
     )
 
     run_training(

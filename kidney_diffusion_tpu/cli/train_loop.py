@@ -20,7 +20,12 @@ from typing import Callable, Optional
 import numpy as np
 
 from ..train import Trainer
-from ..utils.logging import MetricsLogger, generate_run_id, save_image
+from ..utils.logging import (
+    MetricsLogger,
+    ResWatchdog,
+    generate_run_id,
+    save_image,
+)
 
 
 def add_distributed_args(p) -> None:
@@ -32,6 +37,28 @@ def add_distributed_args(p) -> None:
     p.add_argument("--coordinator_address", type=str, default=None)
     p.add_argument("--num_processes", type=int, default=None)
     p.add_argument("--process_id", type=int, default=None)
+
+
+def add_device_pool_args(p) -> None:
+    """--device_pool flags shared by every train CLI (the framework-owned
+    fix for the tunnel-client RAM leak: per-step host->device uploads
+    leak host RAM proportional to cumulative bytes on this backend —
+    two multi-hour runs wedged at RES 82-104 GB in round 4)."""
+    p.add_argument(
+        "--device_pool", type=int, default=0,
+        help="stage N batches on device once and cycle them (0 = upload "
+             "a fresh batch every step; use >0 for runs beyond ~500 steps)")
+    p.add_argument(
+        "--pool_refresh", type=int, default=100,
+        help="with --device_pool, re-stage one pool slot every N steps "
+             "to keep walking the dataset (0 = fixed pool)")
+
+
+def device_pool_kwargs(args) -> dict:
+    return {
+        "device_pool": getattr(args, "device_pool", 0),
+        "pool_refresh_every": getattr(args, "pool_refresh", 0),
+    }
 
 
 def setup_distributed(args):
@@ -81,6 +108,9 @@ def run_training(
     if trainer.is_main:
         os.makedirs(out_dir, exist_ok=True)
     trainer.print(f"Run ID: {run_id}")
+    # tunnel-client RAM-leak early warning (round-4 wedge; see
+    # utils/logging.ResWatchdog) — checked every 100 steps
+    watchdog = ResWatchdog(print_fn=trainer.print)
 
     while True:
         step = trainer.num_steps_taken(unet_number)
@@ -92,6 +122,8 @@ def run_training(
         loss = trainer.train_step(unet_number)
         trainer.print(f"step {step}: unet{unet_number} loss: {loss:.5f}")
         logger.log(step, loss=loss)
+        if step % 100 == 0:
+            watchdog.check()
 
         if step and step % valid_every == 0:
             val_loss = trainer.valid_step(unet_number)

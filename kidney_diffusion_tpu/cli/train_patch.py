@@ -20,7 +20,9 @@ from ..models.configs import patch_conditioned, patch_unconditional
 from ..train import Trainer
 from .data_setup import load_patient_environment
 from .train_loop import (
+    add_device_pool_args,
     add_distributed_args,
+    device_pool_kwargs,
     default_sample_fn,
     run_training,
     setup_distributed,
@@ -50,6 +52,7 @@ def parse_args():
                         "previews/ before training (headless equivalent "
                         "of train.py:165-172's matplotlib loop)")
     add_distributed_args(p)
+    add_device_pool_args(p)
     return p.parse_args()
 
 
@@ -100,11 +103,11 @@ def main():
     )
     trainer.add_train_dataset(
         train_ds, batch_size=args.batch_size, num_workers=args.num_workers,
-        keywords=keywords, shard_by_process=multihost,
+        keywords=keywords, shard_by_process=multihost, **device_pool_kwargs(args),
     )
     trainer.add_valid_dataset(
         valid_ds, batch_size=args.batch_size, num_workers=args.num_workers,
-        keywords=keywords, shard_by_process=multihost,
+        keywords=keywords, shard_by_process=multihost, **device_pool_kwargs(args),
     )
 
     checkpoint = {

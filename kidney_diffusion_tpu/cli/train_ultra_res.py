@@ -21,7 +21,9 @@ from ..models.configs import ultra_res
 from ..train import Trainer
 from .data_setup import load_patient_environment
 from .train_loop import (
+    add_device_pool_args,
     add_distributed_args,
+    device_pool_kwargs,
     default_sample_fn,
     run_training,
     setup_distributed,
@@ -45,6 +47,7 @@ def parse_args():
     p.add_argument("--num_workers", type=int, default=8)
     p.add_argument("--no_wandb", action="store_true")
     add_distributed_args(p)
+    add_device_pool_args(p)
     return p.parse_args()
 
 
@@ -79,11 +82,11 @@ def main():
     train_ds, valid_ds = train_valid_split(dataset, 0.1)
     trainer.add_train_dataset(
         train_ds, batch_size=args.batch_size, num_workers=args.num_workers,
-        keywords=keywords, shard_by_process=multihost,
+        keywords=keywords, shard_by_process=multihost, **device_pool_kwargs(args),
     )
     trainer.add_valid_dataset(
         valid_ds, batch_size=args.batch_size, num_workers=args.num_workers,
-        keywords=keywords, shard_by_process=multihost,
+        keywords=keywords, shard_by_process=multihost, **device_pool_kwargs(args),
     )
 
     checkpoint = args.checkpoint or f"./ckpt_mag{mag}_unet{args.unet_number}"

@@ -172,6 +172,68 @@ class DataLoader:
             pass
 
 
+class DeviceBatchPool:
+    """Device-staged cycling pool of batches.
+
+    Round-4 hardware gotcha (CLAUDE.md): on the tunneled TPU backend
+    every host->device batch upload leaks host RAM in the tunnel client
+    proportionally to CUMULATIVE uploaded bytes; multi-hour training
+    runs feeding a fresh numpy batch per step wedged twice at RES
+    82-104 GB. Staging `size` batches on device once and cycling them
+    bounds total uploads to `size + steps/refresh_every` batches
+    instead of `steps`, making host RES flat over arbitrarily long
+    runs while `refresh_every` keeps data diversity: one slot is
+    re-filled from the source loader every `refresh_every` draws, so
+    the pool walks the whole dataset over time (refresh_every=0 means
+    never refresh — a fixed pool).
+
+    `place` is applied to each source batch ONCE at staging time
+    (typically the trainer's shard+upload); drawn batches come back
+    already on device.
+    """
+
+    def __init__(self, source, *, size: int, place, refresh_every: int = 0):
+        assert size >= 1, size
+        self._source = source
+        self._size = size
+        self._place = place
+        self._refresh_every = refresh_every
+        self._slots: list = []
+        self._count = 0
+        self._refresh_slot = 0
+        self.uploads = 0  # staged-batch counter (tests pin boundedness)
+
+    def _stage(self):
+        self.uploads += 1
+        return self._place(next(self._source))
+
+    def __iter__(self):
+        return self
+
+    def __next__(self) -> dict:
+        if len(self._slots) < self._size:
+            self._slots.append(self._stage())
+            batch = self._slots[-1]
+        else:
+            if self._refresh_every and self._count % self._refresh_every == 0:
+                self._slots[self._refresh_slot] = self._stage()
+                self._refresh_slot = (self._refresh_slot + 1) % self._size
+            batch = self._slots[self._count % self._size]
+        self._count += 1
+        return batch
+
+    def close(self):
+        close = getattr(self._source, "close", None)
+        if close is not None:
+            close()
+
+    def __enter__(self):
+        return self
+
+    def __exit__(self, *exc):
+        self.close()
+
+
 class PermutationSplit:
     """Deterministic permutation-split view over a dataset (the
     reference's `torch.utils.data.Subset` over a seeded `randperm`,

@@ -314,16 +314,18 @@ def _stage_batch(
     max_wave_batch: int,
     final_stage_batch: Optional[int],
     data_size: int,
+    is_final: bool = True,
 ) -> int:
     """Wave-chunk batch cap for one stage. <=256² stages amortize weight
     streaming across the wave (max_wave_batch, round-3 sweep: saturated
     by 16, default 32). Larger stages default to 1 per device — the pure
     chip-throughput optimum (batch 2 measured 1.37x slower per patch) —
-    unless `final_stage_batch` raises it to trade compute for DISPATCH
+    unless `final_stage_batch` raises it on the FINAL stage only (its
+    name is its contract — ADVICE r4) to trade compute for DISPATCH
     COUNT over a high-latency host link (artifacts/r4_gigapixel_wall)."""
     if stage_size <= 256:
         return max_wave_batch
-    return max(final_stage_batch or 1, data_size, 1)
+    return max((final_stage_batch if is_final else None) or 1, data_size, 1)
 
 
 def _pad_to(arr: np.ndarray, b: int) -> np.ndarray:
@@ -355,6 +357,7 @@ def generate_patch_set(
     fill: float = 0.95,
     center_cond: bool = False,
     final_stage_batch: Optional[int] = None,
+    metrics_hook=None,
 ) -> Dict[Pos, np.ndarray]:
     """Generate all patches of one magnification level through the full
     cascade, wave by wave, batched.
@@ -490,7 +493,8 @@ def generate_patch_set(
             # the chip at batch 1 (batch 2 is 1.37x SLOWER per patch and
             # batch 4 fails to compile); batching only pays at <= 256²
             stage_batch = _stage_batch(
-                stage_size, max_wave_batch, final_stage_batch, data_size
+                stage_size, max_wave_batch, final_stage_batch, data_size,
+                is_final=stage == num_stages,
             )
             for wi, wave in enumerate(waves):
                 for chunk_start in range(0, len(wave), stage_batch):
@@ -663,6 +667,17 @@ def generate_patch_set(
                         p for p in stores[stage] if last_use.get(p, -1) <= wi
                     ]:
                         del stores[stage][pos]
+                if metrics_hook is not None:
+                    # per-(stage, wave) observability: the full-slide
+                    # artifact's timing + memory trace rides this
+                    # (timings are dispatch-side for non-final stages —
+                    # only the fetcher/finish() syncs)
+                    metrics_hook(
+                        stage=stage,
+                        wave=wi,
+                        patches=len(wave),
+                        device_store_entries=sum(len(s) for s in stores),
+                    )
                 if progress:
                     done = sum(len(w) for w in waves[: wi + 1])
                     print(
@@ -766,6 +781,7 @@ def generate_high_res_image(
     all_patches: bool = False,
     wire: Optional[str] = "uint8",
     final_stage_batch: Optional[int] = None,
+    metrics_hook=None,
 ) -> np.ndarray:
     """One magnification refinement: coarse (H, W, 3) [0,1] -> finer
     uint8 canvas (the reference's generate_high_res_image,
@@ -819,6 +835,7 @@ def generate_high_res_image(
         fill=0.0 if airs else 0.95,
         center_cond=center_cond,
         final_stage_batch=final_stage_batch,
+        metrics_hook=metrics_hook,
     )
     return stitch_patches(
         zoomed_image,

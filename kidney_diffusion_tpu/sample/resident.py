@@ -127,6 +127,7 @@ class ResidentEngine:
         self.final_host: Dict[Pos, np.ndarray] = {}
         self._fetch_errors: List[BaseException] = []
         self._q: "queue.Queue" = queue.Queue()
+        self._discard = False  # set by shutdown(): skip pending fetches
         self._fetcher = threading.Thread(target=self._fetch_loop, daemon=True)
         self._fetcher.start()
 
@@ -140,6 +141,11 @@ class ResidentEngine:
             try:
                 if item is None:
                     return
+                if self._discard:
+                    # cleanup path: skip the device->host download of
+                    # already-queued buffers — on the error path each is
+                    # a multi-second wasted tunnel transfer (ADVICE r4)
+                    continue
                 pos, arr = item
                 host = np.asarray(arr).astype(np.float32) / 255.0
                 self.final_host[pos] = host.astype(self.store_dtype)
@@ -163,8 +169,14 @@ class ResidentEngine:
         """Stop the fetcher thread without raising. Idempotent — the
         error-path cleanup (generate_patch_set's finally) so a failed
         level never leaks a daemon thread + its queued device buffers
-        into a long-lived serving process."""
+        into a long-lived serving process. Pending queue items are
+        DISCARDED, not downloaded: the sentinel rides at the queue tail,
+        so without the flag the fetcher would finish fetching every
+        already-queued buffer before exiting — seconds of wasted tunnel
+        downloads after a failure. (`finish()` joins the queue BEFORE
+        calling this, so the success path never discards anything.)"""
         if self._fetcher.is_alive():
+            self._discard = True
             self._q.put(None)
             self._fetcher.join()
 

@@ -284,19 +284,53 @@ class Trainer:
     # datasets
     # ------------------------------------------------------------------
 
-    def add_train_dataset(self, dataset, *, batch_size: int, shuffle: bool = True, **kw):
-        from ..data.pipeline import make_loader
+    def add_train_dataset(
+        self,
+        dataset,
+        *,
+        batch_size: int,
+        shuffle: bool = True,
+        device_pool: int = 0,
+        pool_refresh_every: int = 0,
+        **kw,
+    ):
+        """`device_pool=N` stages N batches on device once and cycles
+        them (refreshing one slot every `pool_refresh_every` steps):
+        per-step host->device uploads leak tunnel-client host RAM
+        proportional to cumulative bytes on the tunneled TPU backend
+        (two multi-hour runs wedged at RES 82-104 GB, round 4) — the
+        pool bounds uploads so host RES stays flat over long runs."""
+        from ..data.pipeline import DeviceBatchPool, make_loader
 
         self._train_iter = make_loader(
             dataset, batch_size=batch_size, shuffle=shuffle, seed=0, **kw
         )
+        if device_pool:
+            self._train_iter = DeviceBatchPool(
+                self._train_iter, size=device_pool, place=self._shard,
+                refresh_every=pool_refresh_every,
+            )
 
-    def add_valid_dataset(self, dataset, *, batch_size: int, shuffle: bool = False, **kw):
-        from ..data.pipeline import make_loader
+    def add_valid_dataset(
+        self,
+        dataset,
+        *,
+        batch_size: int,
+        shuffle: bool = False,
+        device_pool: int = 0,
+        pool_refresh_every: int = 0,
+        **kw,
+    ):
+        from ..data.pipeline import DeviceBatchPool, make_loader
 
         self._valid_iter = make_loader(
             dataset, batch_size=batch_size, shuffle=shuffle, seed=1, **kw
         )
+        if device_pool:
+            self._valid_iter = DeviceBatchPool(
+                self._valid_iter, size=device_pool, place=self._shard,
+                refresh_every=pool_refresh_every,
+            )
 
     def _shard(self, batch: Dict) -> Dict:
         sh = batch_sharding(self.mesh)
@@ -304,6 +338,12 @@ class Trainer:
         out = {}
         for k, v in batch.items():
             if v is None:
+                continue
+            if isinstance(v, jax.Array):
+                # already placed (DeviceBatchPool batches are sharded at
+                # staging time) — re-sharding would be a no-op at best
+                # and a device->host round-trip at worst (multi-host)
+                out[k] = v
                 continue
             if self.mesh.size <= 1:
                 out[k] = jnp.asarray(v)

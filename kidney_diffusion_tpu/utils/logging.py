@@ -144,6 +144,67 @@ def print_memory_usage(prefix: str = "") -> None:
             print(f"{prefix}{d}: memory stats unavailable", flush=True)
 
 
+def host_rss_gb() -> float:
+    """This process's resident set size in GiB (Linux /proc; NaN
+    elsewhere). The tunnel-client RAM-leak watchdog reads this."""
+    try:
+        with open("/proc/self/status") as f:
+            for line in f:
+                if line.startswith("VmRSS:"):
+                    return int(line.split()[1]) / 2**20  # kB -> GiB
+    except (OSError, ValueError, IndexError):
+        pass
+    return float("nan")
+
+
+def host_mem_total_gb() -> float:
+    """Total host RAM in GiB (Linux /proc/meminfo; NaN elsewhere)."""
+    try:
+        with open("/proc/meminfo") as f:
+            for line in f:
+                if line.startswith("MemTotal:"):
+                    return int(line.split()[1]) / 2**20
+    except (OSError, ValueError, IndexError):
+        pass
+    return float("nan")
+
+
+class ResWatchdog:
+    """Warns (once per threshold) when host RES approaches the wedge.
+
+    Round-4 failure mode: per-step numpy batch uploads leak RAM in the
+    TPU tunnel client until the process stalls at 0% CPU with a stale
+    log — around RES 80-100 GB on a 126 GB host, i.e. well before the
+    OOM killer would make the failure loud. This watchdog makes it
+    loud EARLY and names the fix (--device_pool)."""
+
+    def __init__(self, warn_fractions=(0.3, 0.5, 0.7), print_fn=None):
+        if print_fn is None:
+            print_fn = lambda *a: print(*a, flush=True)  # noqa: E731
+        self._total = host_mem_total_gb()
+        self._pending = sorted(warn_fractions, reverse=True)
+        self._print = print_fn
+
+    def check(self) -> float:
+        """Returns current RES in GiB; prints at most one new warning."""
+        rss = host_rss_gb()
+        if self._total and rss and self._pending and not (
+            rss != rss or self._total != self._total  # NaN guards
+        ):
+            frac = rss / self._total
+            while self._pending and frac >= self._pending[-1]:
+                level = self._pending.pop()
+                self._print(
+                    f"WARNING: host RES {rss:.1f} GiB = {frac:.0%} of "
+                    f"{self._total:.0f} GiB (threshold {level:.0%}). "
+                    f"Per-step batch uploads leak tunnel-client RAM on "
+                    f"this backend and wedge the process near 65-80% "
+                    f"(CLAUDE.md round 4); long runs should stage "
+                    f"batches with --device_pool."
+                )
+        return rss
+
+
 @contextlib.contextmanager
 def profile_trace(log_dir: str = "/tmp/jax-trace", enabled: bool = True):
     """jax.profiler trace context (view with TensorBoard / xprof)."""

@@ -196,3 +196,83 @@ def test_save_labelmap_preview(tmp_path):
     save_labelmap_preview(patch, str(out), None)
     px = np.asarray(Image.open(out)).astype(np.float32) / 255.0
     np.testing.assert_allclose(px, 0.4, atol=0.01)
+
+
+# ---------------------------------------------------------------------------
+# DeviceBatchPool — the framework-owned fix for the tunnel-client RAM leak
+# (per-step uploads leak host RAM proportional to cumulative bytes; two
+# multi-hour on-chip runs wedged at RES 82-104 GB in round 4)
+# ---------------------------------------------------------------------------
+
+
+def test_device_batch_pool_bounds_uploads_and_cycles():
+    from kidney_diffusion_tpu.data.pipeline import DeviceBatchPool
+
+    placed = []
+
+    def place(b):
+        placed.append(b)
+        return {"tag": b["tag"], "placed": True}
+
+    src = iter({"tag": i} for i in range(10_000))
+    pool = DeviceBatchPool(src, size=3, place=place, refresh_every=10)
+    seen = [next(pool)["tag"] for _ in range(100)]
+    # uploads bounded: 3 to fill + ~1 per 10 draws after, NOT 100
+    assert pool.uploads <= 3 + 100 // 10 + 1
+    assert pool.uploads == len(placed)
+    # first three draws stage fresh batches, then cycling starts
+    assert seen[:3] == [0, 1, 2]
+    # refresh walks the source: later draws include batches staged later
+    assert max(seen) > 2
+    # every drawn batch went through place()
+    assert all(t in {b["tag"] for b in placed} for t in seen)
+
+
+def test_device_batch_pool_fixed_when_no_refresh():
+    from kidney_diffusion_tpu.data.pipeline import DeviceBatchPool
+
+    src = iter({"tag": i} for i in range(100))
+    pool = DeviceBatchPool(src, size=2, place=lambda b: b, refresh_every=0)
+    seen = [next(pool)["tag"] for _ in range(50)]
+    assert pool.uploads == 2 and set(seen) == {0, 1}
+
+
+def test_device_batch_pool_close_closes_source():
+    from kidney_diffusion_tpu.data.pipeline import DeviceBatchPool
+
+    class Src:
+        closed = False
+
+        def __next__(self):
+            return {"x": 0}
+
+        def close(self):
+            self.closed = True
+
+    src = Src()
+    pool = DeviceBatchPool(src, size=1, place=lambda b: b)
+    next(pool)
+    pool.close()
+    assert src.closed
+
+
+def test_trainer_device_pool_trains_with_bounded_uploads():
+    """The product path (Trainer.add_train_dataset(device_pool=N)) must
+    train normally while staging only pool-sized uploads — this is the
+    CLI --device_pool path that keeps >2000-step runs from wedging."""
+    import jax
+
+    ds = _DS(n=8, size=32)
+    tr = Trainer(Cascade(tiny_test_cascade()))
+    tr.add_train_dataset(ds, batch_size=2, device_pool=2,
+                         pool_refresh_every=5, num_workers=1)
+    losses = [tr.train_step(1) for _ in range(12)]
+    assert all(np.isfinite(l) for l in losses)
+    pool = tr._train_iter
+    assert pool.uploads <= 2 + 12 // 5 + 1  # bounded, not 12
+    # staged batches are jax Arrays and pass through _shard untouched
+    batch = next(pool)
+    assert isinstance(batch["images"], jax.Array)
+    shard_again = tr._shard(batch)
+    assert shard_again["images"] is batch["images"]
+    pool.close()

@@ -104,7 +104,7 @@ def label_fidelity(images, labelmaps):
     return hits / max(total, 1), total
 
 
-def build_cascade(smoke: bool):
+def build_cascade(smoke: bool, depth: int = 2):
     from kidney_diffusion_tpu.cascade import Cascade
     from kidney_diffusion_tpu.models.configs import (
         patch_conditioned, tiny_test_cascade,
@@ -112,17 +112,28 @@ def build_cascade(smoke: bool):
 
     if smoke:
         cfg = tiny_test_cascade(
-            condition_on_text=True, cond_images_channels=4,
-            image_sizes=(16, 32), timesteps=8,
+            num_stages=depth, condition_on_text=True, cond_images_channels=4,
+            image_sizes=(16, 32, 64)[:depth],
+            objectives=("noise", "v", "v")[:depth], timesteps=8,
         )
         return Cascade(cfg)
     cfg = patch_conditioned()
-    # the annotated 64->256 slice (stage 3 is the same sr1024 topology
-    # already exercised by the flagship artifacts; the regime-specific
-    # machinery — labelmap cond + metadata embeds + CFG — lives in
-    # stages 1-2, /root/reference/train.py:120's per-stage processes)
-    cfg = dataclasses.replace(cfg, stages=cfg.stages[:2])
+    # depth 2 = the annotated 64->256 slice (the r4 artifact protocol);
+    # depth 3 adds the conditioned 1024² stage — 4-ch labelmap cond +
+    # metadata embeds + CFG + random-crop-256 training, the reference's
+    # primary regime at its REAL depth (/root/reference/train.py:90-94,
+    # random_crop_sizes=(None, None, 256))
+    cfg = dataclasses.replace(cfg, stages=cfg.stages[:depth])
     return Cascade(cfg)
+
+
+def _resize_nearest(arr: np.ndarray, size: int) -> np.ndarray:
+    """Host-side nearest resize (H, W, C) -> (size, size, C)."""
+    h = arr.shape[0]
+    if h == size:
+        return arr
+    idx = (np.arange(size) * h // size).astype(np.int64)
+    return arr[idx][:, idx]
 
 
 def main():
@@ -130,8 +141,14 @@ def main():
     ap.add_argument("--out", required=True)
     ap.add_argument("--steps1", type=int, default=2000)
     ap.add_argument("--steps2", type=int, default=2000)
+    ap.add_argument("--steps3", type=int, default=1500)
     ap.add_argument("--batch1", type=int, default=16)
     ap.add_argument("--batch2", type=int, default=4)
+    ap.add_argument("--batch3", type=int, default=4)
+    ap.add_argument("--depth", type=int, default=2, choices=(2, 3),
+                    help="2 = the r4 64->256 slice; 3 adds the "
+                         "conditioned 1024² stage (random-crop-256 "
+                         "training, CFG serving)")
     ap.add_argument("--fid-patches", type=int, default=24)
     ap.add_argument("--dpmpp-steps", type=int, default=25)
     ap.add_argument("--cond-scale", type=float, default=3.0)
@@ -160,8 +177,8 @@ def main():
     from kidney_diffusion_tpu.utils.logging import save_image
 
     if args.smoke:
-        args.steps1, args.steps2 = 6, 6
-        args.batch1 = args.batch2 = 2
+        args.steps1 = args.steps2 = args.steps3 = 6
+        args.batch1 = args.batch2 = args.batch3 = 2
         args.fid_patches = 4
         args.dpmpp_steps = 4
         args.train_items = 6
@@ -169,8 +186,9 @@ def main():
     os.makedirs(args.out, exist_ok=True)
     log = os.path.join(args.out, "loss.jsonl")
 
-    cascade = build_cascade(args.smoke)
+    cascade = build_cascade(args.smoke, args.depth)
     size = cascade.config.stages[-1].image_size
+    num_stages = cascade.config.num_stages
 
     # ---- synthetic annotated set -----------------------------------------
     rng = np.random.default_rng(7)
@@ -220,37 +238,53 @@ def main():
 
     # device-staged batch pool: a fresh numpy batch re-uploads ~19 MB
     # through the tunnel EVERY step (measured 1.45 s/step upload-bound on
-    # the first r4 run); 24 staged batches cycle on-device instead
+    # the first r4 run); staged batches cycle on-device instead.
+    # Batches are pre-resized to the TRAINED stage's size on host
+    # (stage_loss's own in-model resize is nearest too): at depth 3 a
+    # b16 pool of full 1024² items would cost ~5 GB of HBM next to the
+    # 631M stage's 10 GB train state.
     _pools = {}
 
-    def batch_for(brng, bsz):
-        if bsz not in _pools:
+    def batch_for(stage, brng, bsz):
+        stage_size = cascade.config.stages[stage - 1].image_size
+        if (stage, bsz) not in _pools:
+            n_pool = 8 if stage_size > 256 else 24
             pool = []
-            for _ in range(24):
+            for _ in range(n_pool):
                 idx = brng.integers(0, args.train_items, bsz)
                 pool.append({
-                    "images": jax.device_put(
-                        np.stack([train_imgs[i] for i in idx])
-                    ),
-                    "cond_images": jax.device_put(
-                        np.stack([train_lms[i] for i in idx])
-                    ),
+                    "images": jax.device_put(np.stack(
+                        [_resize_nearest(train_imgs[i], stage_size)
+                         for i in idx]
+                    )),
+                    "cond_images": jax.device_put(np.stack(
+                        [_resize_nearest(train_lms[i], stage_size)
+                         for i in idx]
+                    )),
                     "text_embeds": jax.device_put(
                         np.stack([train_meta[i] for i in idx])[:, None, :]
                     ),
                 })
-            _pools[bsz] = [pool, 0]
-        pool, k = _pools[bsz]
-        _pools[bsz][1] = k + 1
+            _pools[(stage, bsz)] = [pool, 0]
+        pool, k = _pools[(stage, bsz)]
+        _pools[(stage, bsz)][1] = k + 1
         return pool[k % len(pool)]
 
     params_by_stage = {}
 
-    def cascade_eval(tag, params1, params2):
+    def cascade_eval(tag, params_list):
         gen_dir = os.path.join(args.out, f"fid_gen_{tag}")
         os.makedirs(gen_dir, exist_ok=True)
         t0 = time.time()
-        bsz = 4 if not args.smoke else 2
+        if args.smoke:
+            bsz = 2
+        elif size > 256:
+            # 1024² final stage: batch 1 is the wave-batch cap (batch 2
+            # is slower per patch and CFG already doubles the effective
+            # batch in-model — CLAUDE.md)
+            bsz = 1
+        else:
+            bsz = 4
         outs = []
         for s in range(0, args.fid_patches, bsz):
             b = min(bsz, args.fid_patches - s)
@@ -258,7 +292,7 @@ def main():
             ci = np.concatenate([labelmaps[s : s + b]] + [labelmaps[s : s + 1]] * pad)
             te = np.concatenate([text_embeds[s : s + b]] + [text_embeds[s : s + 1]] * pad)
             out = cascade.sample(
-                [params1, params2], jax.random.PRNGKey(5000 + s),
+                params_list, jax.random.PRNGKey(5000 + s),
                 batch_size=bsz, cond_images=ci, text_embeds=te,
                 cond_scale=args.cond_scale, dpmpp_steps=args.dpmpp_steps,
             )
@@ -274,30 +308,48 @@ def main():
                    "wall_s": round(time.time() - t0, 1)})
         return fid, acc
 
+    stage_plan = [
+        (1, args.steps1, args.batch1),
+        (2, args.steps2, args.batch2),
+    ][:num_stages]
+    if num_stages == 3:
+        stage_plan.append((3, args.steps3, args.batch3))
     result = {
-        "model": "patch_conditioned 64->256 slice"
+        "model": (f"patch_conditioned 64->256{'->1024' if num_stages == 3 else ''} "
+                  f"{'cascade' if num_stages == 3 else 'slice'}")
                  if not args.smoke else "cond-smoke",
         "regime": "1 (labelmap + metadata + CFG, /root/reference/train.py)",
         "cond_scale": args.cond_scale,
-        "steps": [args.steps1, args.steps2],
+        "steps": [s for _, s, _ in stage_plan],
         "dpmpp_steps": args.dpmpp_steps,
         "fid_patches": args.fid_patches,
     }
 
-    init1 = cascade.init_stage_params(jax.random.PRNGKey(1), 1)
-    init2 = cascade.init_stage_params(jax.random.PRNGKey(2), 2)
+    init_by_stage = {
+        s: cascade.init_stage_params(jax.random.PRNGKey(s), s)
+        for s in range(1, num_stages + 1)
+    }
+
+    def eval_params(trained_upto, live=None, live_stage=None):
+        out = []
+        for s in range(1, num_stages + 1):
+            if live is not None and s == live_stage:
+                out.append(live)
+            elif s <= trained_upto:
+                out.append(params_by_stage[s])
+            else:
+                out.append(init_by_stage[s])
+        return out
+
     result["fid_init"], result["fidelity_init"] = cascade_eval(
-        "init", init1, init2
+        "init", eval_params(0)
     )
 
     brng = np.random.default_rng(123)
-    for stage, steps, bsz in (
-        (1, args.steps1, args.batch1),
-        (2, args.steps2, args.batch2),
-    ):
+    for stage, steps, bsz in stage_plan:
         tr = Trainer(cascade, max_grad_norm=1.0, lr=args.lr,
                      only_train_unet_number=stage)
-        init = init1 if stage == 1 else init2
+        init = init_by_stage[stage]
         tr._states[stage] = tr._place_state(
             StageState(
                 params=init,
@@ -308,28 +360,37 @@ def main():
                 step=jnp.zeros((), jnp.int32),
             )
         )
-        if stage == 1:
-            init1 = None
-        else:
-            init2 = None
         del init
+        # every later eval of this stage uses live/trained params — free
+        # the fresh-init handle BEFORE training so the 631M stage's
+        # init copy (~2.5 GB) doesn't sit next to its 10 GB train state
+        # (the r3 OOM lesson: free the outgoing copy first)
+        init_by_stage[stage] = None
         t0 = time.time()
         for step in range(steps):
-            loss = tr.train_step(stage, batch_for(brng, bsz))
+            loss = tr.train_step(stage, batch_for(stage, brng, bsz))
             n = step + 1
             if n % 100 == 0 or step == 0 or n == steps:
                 _log(log, {"stage": stage, "step": n, "loss": round(loss, 5),
                            "t": round(time.time() - t0, 1)})
-            if stage == 2 and n == steps // 2:
+            if stage == num_stages and n == steps // 2:
                 result["fid_mid"], result["fidelity_mid"] = cascade_eval(
-                    "s1final_s2mid", params_by_stage[1], tr.state(2).ema_params
+                    f"upto{stage - 1}final_s{stage}mid",
+                    eval_params(stage - 1, tr.state(stage).ema_params, stage),
                 )
         params_by_stage[stage] = tr.state(stage).ema_params
         tr.drop_state(stage)
         del tr
+        if num_stages == 3 and stage == 2:
+            # depth-3 ablation point: trained 64->256 under a FRESH 1024²
+            # stage — isolates what training the conditioned 1024² stage
+            # buys on top of the r4-proven slice
+            result["fid_s12final_s3init"], result["fidelity_s12final_s3init"] = (
+                cascade_eval("s12final_s3init", eval_params(2))
+            )
 
     result["fid_final"], result["fidelity_final"] = cascade_eval(
-        "final", params_by_stage[1], params_by_stage[2]
+        "final", eval_params(num_stages)
     )
     with open(os.path.join(args.out, "fid.json"), "w") as f:
         json.dump(result, f, indent=2)

@@ -327,6 +327,13 @@ def main():
             if n % 100 == 0 or step == 0 or n == steps:
                 _log(log, {"stage": stage, "step": n, "loss": round(loss, 5),
                            "t": round(time.time() - t0, 1)})
+            if n in (steps // 2, steps):
+                # unique-name mid/final checkpoints per stage — the
+                # reference's --save_freq behavior (train_uncond.py:197)
+                ck = os.path.join(args.out, f"ckpt_s{stage}_step{n}")
+                tr.save(ck)
+                _log(log, {"event": "checkpoint", "stage": stage,
+                           "step": n, "path": ck})
             if stage == 2 and n == steps // 2:
                 result["fid_mid"] = cascade_eval(
                     "s1final_s2mid", params_by_stage[1], tr.state(2).ema_params
