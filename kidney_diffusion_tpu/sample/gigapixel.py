@@ -496,6 +496,17 @@ def generate_patch_set(
                 stage_size, max_wave_batch, final_stage_batch, data_size,
                 is_final=stage == num_stages,
             )
+            # wave-scan (round 5): on the fused resident path, >256²
+            # stages take whole wave chunks and run them SEQUENTIALLY at
+            # batch 1 inside one lax.scan program — batch-1 per-patch
+            # compute (the measured optimum) at one dispatch per chunk
+            # instead of one per patch. KDT_RESIDENT_SCAN caps the chunk
+            # (0 disables; default 16).
+            scan_cap = int(_os.environ.get("KDT_RESIDENT_SCAN", "16"))
+            scan_min = int(_os.environ.get("KDT_RESIDENT_SCAN_MIN_PIX", "512"))
+            use_scan = fused and stage_size >= scan_min and scan_cap > 1
+            if use_scan:
+                stage_batch = scan_cap
             for wi, wave in enumerate(waves):
                 for chunk_start in range(0, len(wave), stage_batch):
                     chunk = wave[chunk_start : chunk_start + stage_batch]
@@ -530,6 +541,7 @@ def generate_patch_set(
                             use_ddim=pstep == 0 and dstep > 0,
                             ddim_steps=dstep,
                             dpmpp_steps=pstep,
+                            scan=use_scan,
                         )
                         for k, pos in enumerate(chunk):
                             stores[stage][pos] = outs[k]

@@ -128,6 +128,12 @@ class ResidentEngine:
         self._fetch_errors: List[BaseException] = []
         self._q: "queue.Queue" = queue.Queue()
         self._discard = False  # set by shutdown(): skip pending fetches
+        self._final_pending: List[Tuple[Pos, object]] = []
+        import os as _os
+
+        self.fetch_batch = max(
+            1, int(_os.environ.get("KDT_RESIDENT_FETCH_BATCH", "8"))
+        )
         self._fetcher = threading.Thread(target=self._fetch_loop, daemon=True)
         self._fetcher.start()
 
@@ -148,17 +154,46 @@ class ResidentEngine:
                     continue
                 pos, arr = item
                 host = np.asarray(arr).astype(np.float32) / 255.0
-                self.final_host[pos] = host.astype(self.store_dtype)
+                if isinstance(pos, list):
+                    # batched fetch: one device->host round trip carries
+                    # fetch_batch patches (full-slide measurement: the
+                    # per-fetch round trip, not payload, dominated the
+                    # post-dispatch drain)
+                    for p, row in zip(pos, host):
+                        self.final_host[p] = row.astype(self.store_dtype)
+                else:
+                    self.final_host[pos] = host.astype(self.store_dtype)
             except BaseException as e:  # surfaced in finish()
                 self._fetch_errors.append(e)
             finally:
                 self._q.task_done()
 
     def enqueue_final(self, pos: Pos, arr) -> None:
-        self._q.put((pos, arr))
+        """Hand a finished final-stage patch to the background fetcher.
+        Patches accumulate into groups of `fetch_batch` that are
+        device-stacked (one tiny dispatch) and downloaded in ONE round
+        trip: at full-slide scale per-fetch round-trip latency dominated
+        the drain (1089 single fetches ≈ 12 min after the last dispatch,
+        artifacts/r5_gigapixel_fullscale cold run)."""
+        self._final_pending.append((pos, arr))
+        if len(self._final_pending) >= self.fetch_batch:
+            self._flush_finals()
+
+    def _flush_finals(self) -> None:
+        pending, self._final_pending = self._final_pending, []
+        if not pending:
+            return
+        if len(pending) == 1:
+            self._q.put(pending[0])
+        else:
+            self._q.put((
+                [p for p, _ in pending],
+                jnp.stack([a for _, a in pending]),
+            ))
 
     def finish(self) -> Dict[Pos, np.ndarray]:
         """Drain the fetcher and return the host-side final patches."""
+        self._flush_finals()
         self._q.join()
         self.shutdown()
         if self._fetch_errors:
@@ -363,6 +398,7 @@ class ResidentEngine:
         use_ddim: bool = False,
         ddim_steps: int = 0,
         dpmpp_steps: int = 0,
+        scan: bool = False,
     ) -> tuple:
         """FUSED conditioning-prep + stage sampling: one dispatch per
         chunk. On the attached-tunnel topology each dispatch costs
@@ -372,7 +408,22 @@ class ResidentEngine:
         zero compute penalty. Numerically identical to
         prep_chunk + Cascade.sample_stage: the fused program contains
         exactly the same ops feeding the same impl with the same key
-        (pinned by test_resident_fused_equals_unfused)."""
+        (pinned by test_resident_fused_equals_unfused).
+
+        `scan=True` (the full-slide lever, round 5): the chunk's patches
+        run SEQUENTIALLY at batch 1 inside one `lax.scan` program — the
+        per-patch compute of the measured batch-1 optimum for >256²
+        stages (batch 2 is 1.37x slower per patch) with the dispatch
+        count of a batched wave. At full-slide scale the per-dispatch
+        tunnel cost dominates the 1024² stage (~0.3 s of the 0.52
+        s/patch cold wall, artifacts/r5_gigapixel_fullscale), so one
+        dispatch per wave-chunk instead of one per patch is the
+        difference between ~0.4 and >1 patches/sec end-to-end. Patches
+        within a wave have no mutual deps (the wavefront invariant), so
+        every strip the scan body reads comes from earlier waves' device
+        store — same values the per-patch path would read. The RNG
+        stream differs from the per-patch path (keys are carry-split
+        inside the scan), equally valid draws."""
         meta, slot_arrs, lr_arrs, any_strip = self._assemble_chunk(
             chunk, stage_size, stores_stage, lowres_store, bsz, need_cond
         )
@@ -380,7 +431,7 @@ class ResidentEngine:
         resample = inpaint_resample_times if any_strip else 1
         fused_key = (
             "resident_fused", stage, bsz, stage_size, statics,
-            resample, use_ddim, ddim_steps, dpmpp_steps,
+            resample, use_ddim, ddim_steps, dpmpp_steps, scan,
         )
         cache = cascade.__dict__.setdefault("_resident_fused_cache", {})
         if fused_key not in cache:
@@ -394,14 +445,13 @@ class ResidentEngine:
                 kw_names.append(("inpaint", "inpaint_images"))
                 kw_names.append(("masks", "inpaint_masks"))
 
-            def fused(params, key, src, meta, slots, lr_list):
-                out = prep_fn(src, meta, slots, lr_list)
-                kwargs = {dst: out[k] for k, dst in kw_names}
-                res = cascade._sample_stage_impl(
+            def sample_one(params, key, out_prep, batch):
+                kwargs = {dst: out_prep[k] for k, dst in kw_names}
+                return cascade._sample_stage_impl(
                     params,
                     stage,
                     key,
-                    batch_size=bsz,
+                    batch_size=batch,
                     inpaint_resample_times=resample,
                     use_ddim=use_ddim,
                     ddim_steps=ddim_steps,
@@ -409,7 +459,36 @@ class ResidentEngine:
                     output_dtype="uint8",
                     **kwargs,
                 )
-                return tuple(res[k] for k in range(bsz))
+
+            if scan:
+
+                def fused(params, key, src, meta, slots, lr_list):
+                    xs = {"m": meta}
+                    if slots:
+                        xs["s"] = tuple(jnp.stack(s) for s in slots)
+                    if lr_list:
+                        xs["lr"] = jnp.stack(lr_list)
+
+                    def body(carry, x):
+                        carry, k_i = jax.random.split(carry)
+                        out_prep = prep_fn(
+                            src,
+                            x["m"][None],
+                            tuple((s,) for s in x["s"]) if "s" in x else (),
+                            (x["lr"],) if "lr" in x else (),
+                        )
+                        res = sample_one(params, k_i, out_prep, 1)
+                        return carry, res[0]
+
+                    _, outs = jax.lax.scan(body, key, xs)
+                    return tuple(outs[k] for k in range(bsz))
+
+            else:
+
+                def fused(params, key, src, meta, slots, lr_list):
+                    out_prep = prep_fn(src, meta, slots, lr_list)
+                    res = sample_one(params, key, out_prep, bsz)
+                    return tuple(res[k] for k in range(bsz))
 
             cache[fused_key] = jax.jit(fused)
         src = self.P if self.mode == "canvas" else self.stack

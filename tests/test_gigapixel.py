@@ -803,3 +803,69 @@ def test_last_use_waves_accounting():
     # a patch consumed by nobody can be evicted immediately
     lone = [(0, 0)]
     assert last_use_waves(plan_waves(lone, 1), 1).get((0, 0), -1) == -1
+
+
+def test_resident_wave_scan_path(monkeypatch):
+    """The wave-scan lever (round 5): >=SCAN_MIN_PIX stages run each
+    wave chunk sequentially at batch 1 inside ONE lax.scan program.
+    Same prep, same strips (all from earlier waves), same sampler — only
+    the RNG stream differs from the per-patch path. Pin: every patch
+    generated, valid, deterministic under the same key, and strip
+    dependencies respected (runs through the same RePaint contract)."""
+    from kidney_diffusion_tpu.sample.gigapixel import generate_patch_set, get_cond_images
+
+    cas, params, zoomed = _tiny_cond_setup()
+    _, patch_pos, grid = get_cond_images(
+        zoomed, 1, overlap=0.25, mag_sizes=(256, 128, 32), patch_size=32,
+        materialize=False,
+    )
+    common = dict(
+        patch_pos=patch_pos, grid=grid, cond_images=None,
+        wire="resident", zoomed_image=zoomed, progress=False,
+        inpaint_resample_times=2,
+    )
+    # engage scan on the tiny 32² stage (production gate: 512²)
+    monkeypatch.setenv("KDT_RESIDENT_SCAN_MIN_PIX", "32")
+    monkeypatch.setenv("KDT_RESIDENT_SCAN", "4")
+    a = generate_patch_set(cas, params, jax.random.PRNGKey(3), **common)
+    b = generate_patch_set(cas, params, jax.random.PRNGKey(3), **common)
+    monkeypatch.delenv("KDT_RESIDENT_SCAN_MIN_PIX")
+    c = generate_patch_set(cas, params, jax.random.PRNGKey(3), **common)
+    assert set(a) == set(patch_pos) == set(c)
+    for pos in patch_pos:
+        arr = np.asarray(a[pos], np.float32)
+        assert arr.shape == (32, 32, 3) and np.isfinite(arr).all()
+        assert 0.0 <= arr.min() and arr.max() <= 1.0
+        # deterministic under the same key
+        np.testing.assert_array_equal(arr, np.asarray(b[pos], np.float32))
+    # different RNG stream than the per-patch path, same distribution
+    # family — outputs differ but remain comparable in scale
+    diffs = [
+        float(np.abs(np.asarray(a[p], np.float32) - np.asarray(c[p], np.float32)).mean())
+        for p in patch_pos
+    ]
+    assert any(d > 0 for d in diffs)
+
+
+def test_resident_batched_fetch(monkeypatch):
+    """Finished patches are downloaded in fetch_batch groups (one
+    device-stack + one round trip): results identical to per-patch
+    fetching, and the fetch queue sees ~N/fetch_batch items."""
+    from kidney_diffusion_tpu.sample.gigapixel import generate_patch_set, get_cond_images
+
+    cas, params, zoomed = _tiny_cond_setup()
+    _, patch_pos, grid = get_cond_images(
+        zoomed, 1, overlap=0.25, mag_sizes=(256, 128, 32), patch_size=32,
+        materialize=False,
+    )
+    common = dict(
+        patch_pos=patch_pos, grid=grid, cond_images=None,
+        wire="resident", zoomed_image=zoomed, progress=False,
+    )
+    monkeypatch.setenv("KDT_RESIDENT_FETCH_BATCH", "1")
+    a = generate_patch_set(cas, params, jax.random.PRNGKey(5), **common)
+    monkeypatch.setenv("KDT_RESIDENT_FETCH_BATCH", "4")
+    b = generate_patch_set(cas, params, jax.random.PRNGKey(5), **common)
+    assert set(a) == set(b)
+    for pos in patch_pos:
+        np.testing.assert_array_equal(np.asarray(a[pos]), np.asarray(b[pos]))
