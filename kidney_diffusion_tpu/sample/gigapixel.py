@@ -706,9 +706,11 @@ def generate_patch_set(
             stores[stage - 1].clear()
         if resident:
             return engine.finish()
-        if wire == "uint8":
+        if wire == "uint8" and store_dtype != np.uint8:
             # stores held uint8 between stages; public contract is
-            # float store_dtype in [0, 1]
+            # float store_dtype in [0, 1] (store_dtype=np.uint8 opts
+            # into raw wire values — the stitch path takes this, saving
+            # two full-canvas dtype round-trips)
             return {
                 p: (v.astype(np.float32) / 255.0).astype(store_dtype)
                 for p, v in stores[num_stages].items()
@@ -764,9 +766,12 @@ def stitch_patches(
 
     for (i, j), patch in patches.items():
         y, x = i * patch_dist, j * patch_dist
-        canvas[y : y + patch_size, x : x + patch_size] = np.clip(
-            patch.astype(np.float32) * 255.0, 0, 255
-        ).astype(np.uint8)
+        patch = np.asarray(patch)
+        if patch.dtype != np.uint8:
+            patch = np.clip(patch.astype(np.float32) * 255.0, 0, 255).astype(
+                np.uint8
+            )
+        canvas[y : y + patch_size, x : x + patch_size] = patch
     return canvas
 
 
@@ -837,6 +842,11 @@ def generate_high_res_image(
         inpaint_resample_times=inpaint_resample_times,
         ignore_stage_1=ignore_stage_1,
         max_wave_batch=max_wave_batch,
+        # the stitch re-quantizes to uint8 anyway: keep the wire's uint8
+        # values end-to-end instead of uint8->fp16->uint8 round-tripping
+        # every 1024² patch on the host (full-slide scale: ~6.5 GB of
+        # conversions serialized in the fetcher thread)
+        store_dtype=np.uint8 if wire in ("uint8", "resident") else np.float16,
         progress=progress,
         mesh=mesh,
         debug_dir=debug_dir,

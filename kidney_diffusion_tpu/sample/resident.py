@@ -153,16 +153,24 @@ class ResidentEngine:
                     # a multi-second wasted tunnel transfer (ADVICE r4)
                     continue
                 pos, arr = item
-                host = np.asarray(arr).astype(np.float32) / 255.0
+                host = np.asarray(arr)
+                if self.store_dtype != np.uint8:
+                    host = (host.astype(np.float32) / 255.0).astype(
+                        self.store_dtype
+                    )
+                # else: store the wire uint8 [0,255] directly — the
+                # float round-trip costs real host CPU at full-slide
+                # scale (1089 x 3 MB patches serialized in this thread)
+                # and the stitch re-quantizes to uint8 anyway
                 if isinstance(pos, list):
                     # batched fetch: one device->host round trip carries
                     # fetch_batch patches (full-slide measurement: the
                     # per-fetch round trip, not payload, dominated the
                     # post-dispatch drain)
                     for p, row in zip(pos, host):
-                        self.final_host[p] = row.astype(self.store_dtype)
+                        self.final_host[p] = row
                 else:
-                    self.final_host[pos] = host.astype(self.store_dtype)
+                    self.final_host[pos] = host
             except BaseException as e:  # surfaced in finish()
                 self._fetch_errors.append(e)
             finally:

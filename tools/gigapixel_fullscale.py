@@ -101,6 +101,10 @@ def main():
     p.add_argument("--runs", type=int, default=2,
                    help="run 1 = cold (compiles), run 2 = warm (the "
                         "sustained full-slide number)")
+    p.add_argument("--assume_warm", action="store_true",
+                   help="label the first run 'warm' (jit/XLA caches "
+                        "already populated by a prior process — use for "
+                        "a clean single-run warm measurement)")
     p.add_argument("--smoke", action="store_true",
                    help="CPU plumbing check: tiny cascade, tiny grid")
     args = p.parse_args()
@@ -176,7 +180,9 @@ def main():
 
     canvas = None
     for run in range(args.runs):
-        label = "cold" if run == 0 else "warm"
+        label = "warm" if (run > 0 or args.assume_warm) else "cold"
+        if run > 1 or (run == 1 and args.assume_warm):
+            label = f"warm{run + 1}"
         trace: list = []
         t_run = time.perf_counter()
         last = {"t": t_run}
