@@ -325,10 +325,16 @@ def main():
         "fid_patches": args.fid_patches,
     }
 
-    init_by_stage = {
-        s: cascade.init_stage_params(jax.random.PRNGKey(s), s)
-        for s in range(1, num_stages + 1)
-    }
+    # fresh inits are held as HOST numpy pytrees and uploaded per use:
+    # keeping the 631M stage-3 init resident on device through the
+    # training phases OOMed the 16 GB chip next to stage state + eval
+    # workspace (artifacts/r5_cond_patch_1024 — the depth-3 on-chip
+    # failure; same init-next-to-state hazard as the r3 restore fix)
+    init_by_stage = {}
+    for s in range(1, num_stages + 1):
+        dev = cascade.init_stage_params(jax.random.PRNGKey(s), s)
+        init_by_stage[s] = jax.device_get(dev)
+        del dev
 
     def eval_params(trained_upto, live=None, live_stage=None):
         out = []
