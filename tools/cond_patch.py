@@ -285,6 +285,16 @@ def main():
             bsz = 1
         else:
             bsz = 4
+        # Upload host-numpy param trees ONCE per eval and free them right
+        # after sampling. Passing the host inits straight through lets
+        # jit device_put them on EVERY batch call — with the 631M
+        # stage-3 fresh init that is ~2.5 GB x fid_patches of tunnel
+        # uplink per eval (measured: the init eval alone moved ~36 GB
+        # and leaked tunnel-client RES ~ bytes moved, the r4 leak).
+        # Caching device inits ACROSS evals would re-create the depth-3
+        # OOM (fresh init resident next to 10 GB train state) — upload
+        # per eval, free per eval.
+        placed = [jax.device_put(p) for p in params_list]
         outs = []
         for s in range(0, args.fid_patches, bsz):
             b = min(bsz, args.fid_patches - s)
@@ -292,11 +302,12 @@ def main():
             ci = np.concatenate([labelmaps[s : s + b]] + [labelmaps[s : s + 1]] * pad)
             te = np.concatenate([text_embeds[s : s + b]] + [text_embeds[s : s + 1]] * pad)
             out = cascade.sample(
-                params_list, jax.random.PRNGKey(5000 + s),
+                placed, jax.random.PRNGKey(5000 + s),
                 batch_size=bsz, cond_images=ci, text_embeds=te,
                 cond_scale=args.cond_scale, dpmpp_steps=args.dpmpp_steps,
             )
             outs.append(np.asarray(out)[:b])
+        del placed
         gen = np.concatenate(outs)
         for i in range(args.fid_patches):
             save_image(gen[i], os.path.join(gen_dir, f"{i:04d}.png"))
